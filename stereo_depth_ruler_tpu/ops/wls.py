@@ -64,14 +64,35 @@ def _affine_combine_rev(ea, eb):
 
 
 def tridiag_solve(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
-                  d: jnp.ndarray) -> jnp.ndarray:
+                  d: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
     """Solve tridiagonal systems along the last axis, batched.
 
     a: sub-diagonal (a[..., 0] ignored/0), b: diagonal, c: super-diagonal
     (c[..., -1] ignored/0), d: RHS. Exact Thomas algorithm evaluated with
     O(log N) associative scans (see module docstring). Requires diagonally
     dominant systems (true for the FGS matrices by construction).
+
+    The systems are Jacobi-preconditioned (rows scaled by 1/diag) so the
+    scan matrices stay O(1), and ``refine`` steps of iterative refinement
+    recover the f32 bits the log-depth product loses at large λ.
     """
+    inv_b = 1.0 / b
+    a_s, c_s, d_s = a * inv_b, c * inv_b, d * inv_b
+    u = _tridiag_solve_scan(a_s, jnp.ones_like(b), c_s, d_s)
+    for _ in range(refine):
+        # residual of the original system: r = d - (a·u₋ + b·u + c·u₊)
+        u_m = jnp.concatenate([jnp.zeros_like(u[..., :1]), u[..., :-1]],
+                              axis=-1)
+        u_p = jnp.concatenate([u[..., 1:], jnp.zeros_like(u[..., :1])],
+                              axis=-1)
+        r = d - (a * u_m + b * u + c * u_p)
+        e = _tridiag_solve_scan(a_s, jnp.ones_like(b), c_s, r * inv_b)
+        u = u + e
+    return u
+
+
+def _tridiag_solve_scan(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
+                        d: jnp.ndarray) -> jnp.ndarray:
     shape = a.shape
     N = shape[-1]
     z = jnp.zeros_like(a)

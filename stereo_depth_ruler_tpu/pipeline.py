@@ -1,0 +1,143 @@
+"""End-to-end stereo depth pipeline: rectify → SGBM → WLS → reproject.
+
+Framework counterpart of the reference's per-frame hot loop
+(stereo_displayer.cpp:145-198 → StereoRectifier::rectify →
+StereoDisparity::computeDisparity → computeDepth): one jitted XLA program
+per frame pair (or batch of pairs), all stages fused on device.
+
+Mirrored behaviors:
+- optional 0.5x downscale before matching (the reference always matches at
+  half resolution, stereo_disparity.cpp:22-24; INTER_AREA 0.5 == exact 2x2
+  mean);
+- BGR→gray conversion with OpenCV weights (stereo_disparity.cpp:19-20);
+- WLS left/right-matcher filtering (stereo_disparity.cpp:26-31);
+- the half-res-Q reprojection quirk is opt-in via ``quirk_compat``
+  (SURVEY.md §2.4 — default is geometrically correct scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .calib.config import StereoRig
+from .ops.remap import RemapGrid, build_remap_grids, remap_bilinear
+from .ops.reproject import reproject_to_3d
+from .ops.sgbm import SGBMParams, sgbm
+from .ops.wls import wls_disparity_filter
+
+__all__ = ["PipelineConfig", "StereoPipeline", "bgr_to_gray", "downscale2x"]
+
+
+def bgr_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) BGR -> (..., H, W) gray, OpenCV weights."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    return 0.114 * b + 0.587 * g + 0.299 * r
+
+
+def downscale2x(img: jnp.ndarray) -> jnp.ndarray:
+    """INTER_AREA 0.5x == exact 2x2 mean (stereo_disparity.cpp:22-24)."""
+    h, w = img.shape[-2] // 2 * 2, img.shape[-1] // 2 * 2
+    img = img[..., :h, :w]
+    s = img.shape
+    return img.reshape(s[:-2] + (h // 2, 2, w // 2, 2)).mean(axis=(-3, -1))
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Typed pipeline configuration (SURVEY.md §5 'config system': one
+    config object instead of the reference's hard-coded constants)."""
+    sgbm: SGBMParams = SGBMParams()
+    downscale: int = 2            # 1 = full res; 2 = reference behavior
+    use_wls: bool = True
+    lr_mode: str = "right_matcher"  # "right_matcher" | "fast" | "none"
+    quirk_compat: bool = False    # replicate full-res-Q-on-half-res-disp
+    handle_missing: bool = False
+    z_max_mm: float = 12000.0
+
+
+class StereoPipeline:
+    """Precomputes remap grids once (like the StereoRectifier ctor) and
+    exposes jitted per-pair / per-batch processing."""
+
+    def __init__(self, rig: StereoRig, config: PipelineConfig = PipelineConfig(),
+                 rectify: bool = True, aggregator=None):
+        self.rig = rig
+        self.config = config
+        self.rectify = rectify
+        self._aggregator = aggregator
+        if rectify:
+            self.grid_l, self.grid_r = build_remap_grids(rig)
+        else:
+            self.grid_l = self.grid_r = None
+        self._forward = jax.jit(self._build_forward())
+        self._forward_batch = jax.jit(jax.vmap(self._build_forward()))
+
+    # -- stage functions ---------------------------------------------------
+    def _build_forward(self):
+        cfg = self.config
+        rig = self.rig
+        scale = 1.0 / cfg.downscale
+
+        def forward(left: jnp.ndarray, right: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+            left = left.astype(jnp.float32)
+            right = right.astype(jnp.float32)
+            if left.ndim == 3:  # color input
+                left = bgr_to_gray(left)
+                right = bgr_to_gray(right)
+            if self.rectify:
+                left = remap_bilinear(left, self.grid_l)
+                right = remap_bilinear(right, self.grid_r)
+            lrect, rrect = left, right
+            for _ in range(_log2(cfg.downscale)):
+                left = downscale2x(left)
+                right = downscale2x(right)
+
+            if cfg.use_wls and cfg.lr_mode == "right_matcher":
+                disp_l = sgbm(left, right, cfg.sgbm,
+                              aggregator=self._aggregator)
+                disp_r = sgbm(right[:, ::-1], left[:, ::-1], cfg.sgbm,
+                              aggregator=self._aggregator)[:, ::-1]
+                disp, conf = wls_disparity_filter(disp_l, disp_r, left)
+            else:
+                disp = sgbm(left, right, cfg.sgbm,
+                            apply_lr=cfg.lr_mode != "none",
+                            aggregator=self._aggregator)
+                conf = (disp >= 0).astype(jnp.float32)
+
+            xyz = reproject_to_3d(disp, rig.Q, scale=scale,
+                                  quirk_compat=cfg.quirk_compat,
+                                  handle_missing=cfg.handle_missing)
+            return {"disparity": disp, "xyz": xyz, "confidence": conf,
+                    "left_rectified": lrect, "right_rectified": rrect}
+
+        return forward
+
+    # -- public API --------------------------------------------------------
+    def process_pair(self, left, right) -> Dict[str, jnp.ndarray]:
+        """One frame pair -> disparity (matcher res), xyz (mm), confidence,
+        rectified eyes (full res)."""
+        return self._forward(jnp.asarray(left), jnp.asarray(right))
+
+    def process_batch(self, lefts, rights) -> Dict[str, jnp.ndarray]:
+        """(N, H, W[,3]) batches, vmapped on device."""
+        return self._forward_batch(jnp.asarray(lefts), jnp.asarray(rights))
+
+    def process_sbs(self, frame) -> Dict[str, jnp.ndarray]:
+        """Side-by-side frame (H, 2W[,3]) -> split at W then process (the
+        reference's split via cv::Rect views, stereo_displayer.cpp:155-156)."""
+        w = self.rig.width
+        return self.process_pair(frame[:, :w], frame[:, w:2 * w])
+
+
+def _log2(n: int) -> int:
+    k = 0
+    while (1 << k) < n:
+        k += 1
+    assert (1 << k) == n, f"downscale must be a power of 2, got {n}"
+    return k
