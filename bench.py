@@ -1,0 +1,129 @@
+"""Benchmark: stereo frames/sec/chip at 1280x720 x 128-disp SGBM vs the
+OpenCV-CPU baseline (BASELINE.json primary metric).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Details go to stderr. Run as the ONLY JAX process (the TPU tunnel
+serializes clients).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+H, W, D = 720, 1280, 128
+BATCH = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_inputs(batch=BATCH):
+    from stereo_depth_ruler_tpu.calib.config import StereoRig
+    from stereo_depth_ruler_tpu.io.synthetic import (make_scene,
+                                                     render_stereo_pair)
+    rig = StereoRig.synthetic(width=W, height=H)
+    scene = make_scene(rig, n_boxes=5, z_range_mm=(900.0, 4000.0),
+                       background_z_mm=6000.0, seed=0)
+    lefts, rights = [], []
+    for i in range(batch):
+        l, r, _ = render_stereo_pair(scene, seed=0, shift=(2.0 * i, 0.0))
+        lefts.append(l)
+        rights.append(r)
+    return rig, np.stack(lefts), np.stack(rights)
+
+
+def bench_opencv(lefts, rights, frames=2):
+    """Reference-parameter cv2.StereoSGBM at the headline config
+    (numDisparities=128; other params as stereo_disparity.cpp:5-9)."""
+    import cv2
+    matcher = cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=D, blockSize=5,
+        P1=8 * 3 * 25, P2=32 * 3 * 25, disp12MaxDiff=1, preFilterCap=63,
+        uniquenessRatio=12, speckleWindowSize=200, speckleRange=2,
+        mode=cv2.STEREO_SGBM_MODE_SGBM_3WAY)
+    matcher.compute(lefts[0], rights[0])  # warm
+    t0 = time.perf_counter()
+    n = 0
+    while n < frames:
+        matcher.compute(lefts[n % len(lefts)], rights[n % len(rights)])
+        n += 1
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_depth_ruler_tpu.ops.reproject import reproject_to_3d
+    from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams, sgbm
+
+    aggregator = None
+    if use_pallas:
+        try:
+            from stereo_depth_ruler_tpu.ops.sgbm_pallas import (
+                aggregate_paths_pallas)
+            aggregator = aggregate_paths_pallas
+        except Exception as e:  # pallas kernels are optional at this stage
+            log("pallas aggregator unavailable:", e)
+
+    params = SGBMParams(num_disparities=D, block_size=5,
+                        speckle_window_size=200, speckle_range=2)
+    Q = rig.Q
+
+    def one(left, right):
+        disp = sgbm(left, right, params, apply_lr=True, apply_speckle=True,
+                    aggregator=aggregator)
+        z = reproject_to_3d(disp, Q)[..., 2]
+        return disp, z
+
+    fwd = jax.jit(jax.vmap(one))
+    lb = jnp.asarray(lefts, jnp.float32)
+    rb = jnp.asarray(rights, jnp.float32)
+    t0 = time.perf_counter()
+    out = fwd(lb, rb)
+    jax.block_until_ready(out)
+    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(lb, rb)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters * lb.shape[0] / dt
+    disp = np.asarray(out[0][0])
+    log(f"valid disparity frac: {(disp >= 0).mean():.3f}")
+    return fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cv-frames", type=int, default=2)
+    args = ap.parse_args()
+
+    rig, lefts, rights = make_inputs()
+    log("benchmarking OpenCV CPU baseline...")
+    cv_fps = bench_opencv(lefts, rights, frames=args.cv_frames)
+    log(f"OpenCV CPU SGBM_3WAY {W}x{H}x{D}: {cv_fps:.2f} fps")
+
+    log("benchmarking TPU...")
+    tpu_fps = bench_tpu(rig, lefts, rights, iters=args.iters,
+                        use_pallas=not args.no_pallas)
+    log(f"TPU {W}x{H}x{D}: {tpu_fps:.2f} fps")
+
+    print(json.dumps({
+        "metric": f"stereo_fps_per_chip_{W}x{H}_{D}disp_sgbm",
+        "value": round(tpu_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cv_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,8 @@ def reproject_to_3d(disp: jnp.ndarray, Q,
                     scale: float = 1.0,
                     quirk_compat: bool = False,
                     handle_missing: bool = False,
-                    missing_z: float = 10000.0) -> jnp.ndarray:
+                    missing_z: float = 10000.0,
+                    row_offset=0, col_offset=0) -> jnp.ndarray:
     """(..., H, W) float disparity -> (..., H, W, 3) XYZ in calibration
     units (mm for the reference rig).
 
@@ -55,8 +56,10 @@ def reproject_to_3d(disp: jnp.ndarray, Q,
         Q = scale_q(Q, scale)
     Qj = jnp.asarray(Q, jnp.float32)
     h, w = disp.shape[-2], disp.shape[-1]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    # row/col offsets support spatially-sharded execution: a tile holding
+    # global rows [off, off+h) must reproject with its global pixel coords
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + col_offset
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset
     xs = jnp.broadcast_to(xs, disp.shape)
     ys = jnp.broadcast_to(ys, disp.shape)
     d = disp.astype(jnp.float32)
