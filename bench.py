@@ -58,27 +58,27 @@ def bench_opencv(lefts, rights, frames=2):
 
 def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from stereo_depth_ruler_tpu.ops.reproject import reproject_to_3d
     from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams, sgbm
 
-    aggregator = None
+    matcher = sgbm
     if use_pallas:
         try:
-            from stereo_depth_ruler_tpu.ops.sgbm_pallas import (
-                aggregate_paths_pallas)
-            aggregator = aggregate_paths_pallas
+            from stereo_depth_ruler_tpu.ops.sgbm_pallas import sgbm_pallas
+            matcher = sgbm_pallas
         except Exception as e:  # pallas kernels are optional at this stage
-            log("pallas aggregator unavailable:", e)
+            log("pallas matcher unavailable:", e)
 
     params = SGBMParams(num_disparities=D, block_size=5,
                         speckle_window_size=200, speckle_range=2)
     Q = rig.Q
 
     def one(left, right):
-        disp = sgbm(left, right, params, apply_lr=True, apply_speckle=True,
-                    aggregator=aggregator)
+        disp = matcher(left, right, params, apply_lr=True, apply_speckle=True)
         z = reproject_to_3d(disp, Q)[..., 2]
         return disp, z
 

@@ -198,18 +198,20 @@ def lr_check(S: jnp.ndarray, disp: jnp.ndarray, valid: jnp.ndarray,
     if params.disp12_max_diff < 0:
         return valid
     H, W, D = S.shape
-    xs = jnp.arange(W)[:, None]
-    ds = jnp.arange(D)[None, :]
-    xl = xs + ds + params.min_disparity                   # (W, D)
-    in_range = xl <= W - 1
-    xl_c = jnp.clip(xl, 0, W - 1)
-    # gather S(y, xl, d): build (H, W, D) right-indexed volume
-    Sr = jnp.take_along_axis(
-        S, jnp.broadcast_to(xl_c[None], (H, W, D)), axis=1)
-    Sr = jnp.where(in_range[None], Sr, _BIG)
-    disp2 = jnp.argmin(Sr, axis=-1) + params.min_disparity   # (H, W)
-    cost2 = jnp.min(Sr, axis=-1)
-    disp2 = jnp.where(cost2 >= _BIG, -1.0, disp2.astype(jnp.float32))
+    # disp2(y, x_r) = argmin_d S(y, x_r + d, d). Expressed as D static
+    # left-shifts of the S[..., d] planes (a full-volume take_along_axis
+    # gather is ~2s on TPU; these shifts are pure VPU slices, ~1ms).
+    cost2 = jnp.full((H, W), _BIG, jnp.float32)
+    disp2 = jnp.full((H, W), -1.0, jnp.float32)
+    for d in range(D):
+        shift = d + params.min_disparity
+        plane = S[:, shift:, d] if shift else S[:, :, d]
+        if shift:
+            plane = jnp.pad(plane, ((0, 0), (0, shift)),
+                            constant_values=_BIG)
+        better = plane < cost2
+        cost2 = jnp.where(better, plane, cost2)
+        disp2 = jnp.where(better, float(shift), disp2)
 
     xr = jnp.round(jnp.arange(W)[None, :] - disp).astype(jnp.int32)
     xr_ok = (xr >= 0) & (xr <= W - 1)
@@ -218,57 +220,67 @@ def lr_check(S: jnp.ndarray, disp: jnp.ndarray, valid: jnp.ndarray,
     return valid & jnp.where(xr_ok, consistent, True)
 
 
+def _segmented_min_scan(vals: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
+    """Min-propagate along the last axis within runs: conn[..., i] True
+    means element i is connected to element i-1 (same run). Both
+    directions. O(log N) associative scans, no gathers."""
+
+    def combine(a, b):
+        va, sa = a
+        vb, sb = b
+        v = jnp.where(sb, jnp.minimum(va, vb), vb)
+        return v, sa & sb   # run continues only if both links unbroken
+
+    n = vals.shape[-1]
+    axis = vals.ndim - 1
+    fwd = jax.lax.associative_scan(combine, (vals, conn), axis=axis)[0]
+    rev = jax.lax.associative_scan(
+        combine,
+        (vals, jnp.concatenate(
+            [conn[..., 1:], jnp.zeros_like(conn[..., :1])], axis=-1)),
+        axis=axis, reverse=True)[0]
+    return jnp.minimum(fwd, rev)
+
+
 def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
                    max_size: int, max_diff: float,
-                   num_iters: int = 32) -> jnp.ndarray:
-    """Connected-component speckle removal (cv::filterSpeckles semantics) as
-    iterative min-label propagation + pointer jumping — a TPU-friendly CCL.
+                   num_iters: int = 16) -> jnp.ndarray:
+    """Connected-component speckle removal (cv::filterSpeckles semantics)
+    as iterated segmented min-sweeps — a gather-free, TPU-friendly CCL.
 
     Two pixels are connected (4-neighborhood) when both are valid and their
-    disparities differ by ≤ max_diff. Components with ≤ max_size pixels are
-    invalidated. `num_iters` rounds of (neighbor-min, double pointer-jump)
-    converge for any component whose CCL-tree depth fits; 32 covers all
-    practical speckle shapes (tests verify exact agreement with the
-    flood-fill oracle speckle_filter_np).
+    disparities differ by ≤ max_diff. Labels (min flat-index per component)
+    propagate via row- and column-directional segmented min scans
+    (associative, O(log) depth, pure VPU); ``num_iters`` row+column rounds
+    converge for any component needing ≤ num_iters direction changes,
+    which covers practical speckle shapes (tests verify exact agreement
+    with the flood-fill oracle). Components with ≤ max_size pixels are
+    invalidated.
     """
     H, W = disp.shape
     n = H * W
     flat_idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
-    labels = jnp.where(valid, flat_idx, n)  # invalid -> sentinel n
+    labels = jnp.where(valid, flat_idx, n).astype(jnp.float32)
 
-    def connected(a_d, b_d, a_v, b_v):
-        return a_v & b_v & (jnp.abs(a_d - b_d) <= max_diff)
-
-    pad_d = jnp.pad(disp, 1, constant_values=jnp.nan)
-    pad_v = jnp.pad(valid, 1, constant_values=False)
-    # neighbor connectivity masks (H, W) for up/down/left/right
-    conn = {}
-    for name, (dy, dx) in (("u", (-1, 0)), ("d", (1, 0)),
-                           ("l", (0, -1)), ("r", (0, 1))):
-        nb_d = pad_d[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-        nb_v = pad_v[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-        conn[name] = connected(disp, nb_d, valid, nb_v)
-
-    def nb_labels(lab, dy, dx):
-        p = jnp.pad(lab, 1, constant_values=n)
-        return p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-
-    lab_ext = jnp.concatenate([jnp.zeros(n, jnp.int32), jnp.array([n], jnp.int32)])
+    # horizontal connectivity: pixel (y, x) linked to (y, x-1)
+    conn_h = jnp.concatenate(
+        [jnp.zeros((H, 1), bool),
+         valid[:, 1:] & valid[:, :-1]
+         & (jnp.abs(disp[:, 1:] - disp[:, :-1]) <= max_diff)], axis=1)
+    # vertical connectivity: pixel (y, x) linked to (y-1, x)
+    conn_v = jnp.concatenate(
+        [jnp.zeros((1, W), bool),
+         valid[1:] & valid[:-1]
+         & (jnp.abs(disp[1:] - disp[:-1]) <= max_diff)], axis=0)
+    conn_vT = conn_v.T
 
     def body(_, lab):
-        m = lab
-        for name, (dy, dx) in (("u", (-1, 0)), ("d", (1, 0)),
-                               ("l", (0, -1)), ("r", (0, 1))):
-            nb = nb_labels(lab, dy, dx)
-            m = jnp.where(conn[name], jnp.minimum(m, nb), m)
-        # pointer jumping: label <- label[label] twice
-        flat = jnp.concatenate([m.reshape(-1), jnp.array([n], jnp.int32)])
-        flat = jnp.take(flat, flat[:-1])
-        flat = jnp.concatenate([flat, jnp.array([n], jnp.int32)])
-        flat = jnp.take(flat, flat[:-1])
-        return flat.reshape(H, W)
+        lab = _segmented_min_scan(lab, conn_h)
+        lab = _segmented_min_scan(lab.T, conn_vT).T
+        return lab
 
     labels = jax.lax.fori_loop(0, num_iters, body, labels)
+    labels = labels.astype(jnp.int32)
 
     sizes = jnp.zeros(n + 1, jnp.int32).at[labels.reshape(-1)].add(
         valid.reshape(-1).astype(jnp.int32))

@@ -1,0 +1,74 @@
+"""Pallas SGBM kernels vs the jnp reference implementation — exact
+equality in interpret mode on CPU (the kernels are integer-exact f32, so
+compiled TPU results match too; bench.py exercises the compiled path)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from stereo_depth_ruler_tpu.ops import sgbm as js  # noqa: E402
+from stereo_depth_ruler_tpu.ops import sgbm_pallas as sp  # noqa: E402
+from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams  # noqa: E402
+
+PARAMS = SGBMParams(num_disparities=16, block_size=5, p1=72, p2=288,
+                    speckle_window_size=0)
+
+
+@pytest.fixture(scope="module")
+def imgs(tiny_pair):
+    left, right, _ = tiny_pair
+    return np.float32(left), np.float32(right)
+
+
+@pytest.fixture(scope="module")
+def cost(imgs):
+    left, right = imgs
+    lt = js.sobel_clip(jnp.asarray(left), 63)
+    rt = js.sobel_clip(jnp.asarray(right), 63)
+    C_ref = js.box_filter_volume(
+        js.bt_cost_volume(lt, rt, PARAMS.num_disparities), PARAMS.block_size)
+    return lt, rt, np.asarray(C_ref)
+
+
+def test_cost_volume_kernel(cost):
+    lt, rt, C_ref = cost
+    with pltpu.force_tpu_interpret_mode():
+        C_p = np.asarray(sp.build_cost_volume_pallas(lt, rt, PARAMS, blk=8))
+    # pallas layout is (H, D, W)
+    np.testing.assert_array_equal(np.transpose(C_p, (0, 2, 1)), C_ref)
+
+
+@pytest.mark.parametrize("num_paths", [2, 8])
+def test_aggregation_kernels(cost, num_paths):
+    _, _, C_ref = cost
+    S_ref = np.asarray(js.aggregate_paths(jnp.asarray(C_ref), PARAMS.P1,
+                                          PARAMS.P2, num_paths))
+    with pltpu.force_tpu_interpret_mode():
+        S_p = np.asarray(sp.aggregate_paths_pallas(
+            jnp.asarray(C_ref), PARAMS.P1, PARAMS.P2, num_paths))
+    np.testing.assert_array_equal(S_p, S_ref)
+
+
+def test_full_matcher_parity(imgs):
+    left, right = imgs
+    d_ref = np.asarray(js.sgbm(jnp.asarray(left), jnp.asarray(right),
+                               PARAMS))
+    with pltpu.force_tpu_interpret_mode():
+        d_p = np.asarray(sp.sgbm_pallas(jnp.asarray(left),
+                                        jnp.asarray(right), PARAMS))
+    np.testing.assert_array_equal(d_ref, d_p)
+
+
+def test_directional_pass_reverse(cost):
+    """up pass == flipud(down pass on flipped volume)."""
+    _, _, C_ref = cost
+    C = jnp.transpose(jnp.asarray(C_ref), (0, 2, 1))  # (H, D, W)
+    with pltpu.force_tpu_interpret_mode():
+        up = np.asarray(sp.directional_pass_pallas(
+            C, PARAMS.P1, PARAMS.P2, reverse=True, with_diag=False))
+        down_flipped = np.asarray(sp.directional_pass_pallas(
+            C[::-1], PARAMS.P1, PARAMS.P2, reverse=False, with_diag=False))
+    np.testing.assert_array_equal(up, down_flipped[::-1])
