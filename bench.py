@@ -89,15 +89,24 @@ def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
     out = fwd(lb, rb)
     jax.block_until_ready(out)
     log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(lb, rb)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = iters * lb.shape[0] / dt
     disp = np.asarray(out[0][0])
     log(f"valid disparity frac: {(disp >= 0).mean():.3f}")
-    return fps
+
+    # honest timing: iterations chained by a data dependency INSIDE one
+    # XLA program, fetching only a scalar — async dispatch / remote
+    # runtimes cannot elide or overlap-hide the work
+    @jax.jit
+    def chained(l, r):
+        def body(i, acc):
+            d, z = jax.vmap(one)(l + acc * 1e-20, r)
+            return jnp.sum(d) * 1e-30 + acc
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chained(lb, rb))  # compile
+    t0 = time.perf_counter()
+    float(chained(lb, rb))
+    dt = time.perf_counter() - t0
+    return iters * lb.shape[0] / dt
 
 
 def main():

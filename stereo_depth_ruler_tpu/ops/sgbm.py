@@ -213,7 +213,8 @@ def lr_check(S: jnp.ndarray, disp: jnp.ndarray, valid: jnp.ndarray,
         cost2 = jnp.where(better, plane, cost2)
         disp2 = jnp.where(better, float(shift), disp2)
 
-    xr = jnp.round(jnp.arange(W)[None, :] - disp).astype(jnp.int32)
+    xr = (jnp.arange(W)[None, :]
+          - jnp.round(disp).astype(jnp.int32)).astype(jnp.int32)
     xr_ok = (xr >= 0) & (xr <= W - 1)
     d2 = jnp.take_along_axis(disp2, jnp.clip(xr, 0, W - 1), axis=1)
     consistent = (d2 >= 0) & (jnp.abs(d2 - disp) <= params.disp12_max_diff)

@@ -46,7 +46,7 @@ from .sgbm import SGBMParams, _bt_minmax, lr_check, sobel_clip, speckle_filter, 
 
 __all__ = ["build_cost_volume_pallas", "directional_pass_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
-           "sgbm_pallas"]
+           "wta_lr_pallas", "sgbm_pallas"]
 
 _BIG = 1e9
 
@@ -216,7 +216,7 @@ def _dir_pass_kernel(c_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
 
 def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             reverse: bool, with_diag: bool,
-                            out_dtype=jnp.float32) -> jnp.ndarray:
+                            out_dtype=None) -> jnp.ndarray:
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
@@ -224,6 +224,7 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
     paths (carry lane-shifts) with the axial path.
     """
     N, D, W = C.shape
+    out_dtype = out_dtype or C.dtype
 
     if reverse:
         idx = lambda i: (N - 1 - i, 0, 0)
@@ -283,23 +284,271 @@ def aggregate_paths_pallas(cost_hwd: jnp.ndarray, P1: float, P2: float,
 def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                 params: SGBMParams = SGBMParams(),
                 apply_lr: bool = True, apply_speckle: bool = True,
-                cost_blk: int = 8) -> jnp.ndarray:
-    """Full SGBM with Pallas cost-build + aggregation kernels.
+                cost_blk: int = 8, fused_wta: bool = True,
+                volume_dtype=jnp.int16) -> jnp.ndarray:
+    """Full SGBM with Pallas cost-build + aggregation + WTA kernels.
 
     Drop-in equivalent of ops.sgbm.sgbm (same float32 disparity output,
-    invalid = -1.0); WTA/uniqueness/subpixel/LR/speckle reuse the jnp
-    implementations for exact spec parity.
+    invalid = -1.0). With ``fused_wta`` (8/4-path), the partial path-sum
+    volumes feed the fused WTA/uniqueness/subpixel/LR kernel and are read
+    exactly once; otherwise the jnp postprocessing runs on the summed
+    volume. Speckle filtering stays in jnp (gather-free segmented scans).
     """
     cap = params.pre_filter_cap
     lt = sobel_clip(left.astype(jnp.float32), cap)
     rt = sobel_clip(right.astype(jnp.float32), cap)
-    C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk)
-    S = aggregate_paths_pallas_hdw(C, params.P1, params.P2, params.num_paths)
-    S_hwd = jnp.transpose(S, (0, 2, 1))
-    disp, valid = wta(S_hwd, params)
-    if apply_lr:
-        valid = lr_check(S_hwd, disp, valid, params)
+    # all cost/path values are small exact integers (C <= 6300,
+    # L_r <= 8700, fused 3-path sums <= 26100), so int16 volumes halve
+    # HBM traffic with zero numeric change (compute stays f32 in-kernel)
+    C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
+                                 out_dtype=volume_dtype)
+    P1, P2 = params.P1, params.P2
+    if fused_wta and params.num_paths >= 4:
+        with_diag = params.num_paths == 8
+        Ct = jnp.transpose(C, (2, 1, 0))
+        S_h = jnp.transpose(
+            directional_pass_pallas(Ct, P1, P2, False, False)
+            + directional_pass_pallas(Ct, P1, P2, True, False), (2, 1, 0))
+        S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
+        S_up = directional_pass_pallas(C, P1, P2, True, with_diag)
+        disp = wta_lr_pallas(S_down, S_up, S_h, params, apply_lr=apply_lr)
+        valid = disp >= 0
+    else:
+        S = aggregate_paths_pallas_hdw(C, P1, P2, params.num_paths)
+        S_hwd = jnp.transpose(S, (0, 2, 1))
+        disp, valid = wta(S_hwd, params)
+        if apply_lr:
+            valid = lr_check(S_hwd, disp, valid, params)
     if apply_speckle and params.speckle_window_size > 0:
-        valid = speckle_filter(disp, valid, params.speckle_window_size,
-                               params.speckle_range)
+        dm = jnp.where(valid, disp, -1.0)
+        valid = valid & speckle_filter_pallas(dm,
+                                              params.speckle_window_size,
+                                              params.speckle_range)
     return jnp.where(valid, disp, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# fused WTA + uniqueness + subpixel + LR-consistency kernel
+# ---------------------------------------------------------------------------
+
+
+def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
+                   min_disp: int, uniq: int, quantize_16: bool,
+                   disp12: int):
+    """Per grid step: R rows. Reads the 3 partial path-sum volumes and
+    emits final float disparity (invalid = -1) in one pass — replaces the
+    jnp wta + lr_check stages (which cost 35 + 19 ms at 720p128 as
+    separate XLA passes; fused here the volumes are read exactly once).
+    """
+    W = out_ref.shape[1]
+    S = (sd_ref[:].astype(jnp.float32) + su_ref[:].astype(jnp.float32)
+         + sh_ref[:].astype(jnp.float32))                    # (R, D, W)
+    dio = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 1)
+    s0 = jnp.min(S, axis=1)                                  # (R, W)
+    s0b = s0[:, None, :]
+    d_star_i = jnp.min(jnp.where(S == s0b, dio, D), axis=1)  # (R, W) i32
+    # validity as a float mask (Mosaic's bool-vector support is limited)
+    valid = jnp.ones((R, W), jnp.float32)
+    if uniq > 0:
+        far = jnp.abs(dio - d_star_i[:, None, :]) > 1
+        bad = jnp.max(jnp.where(
+            far & (S * 100.0 < s0b * (100.0 + uniq)), 1.0, 0.0), axis=1)
+        valid = valid * (1.0 - bad)
+    dsb = d_star_i[:, None, :]
+    sm = jnp.min(jnp.where(dio == dsb - 1, S, _BIG), axis=1)
+    sp = jnp.min(jnp.where(dio == dsb + 1, S, _BIG), axis=1)
+    denom = jnp.maximum(sm + sp - 2.0 * s0, 1e-6)
+    offset = jnp.clip((sm - sp) / (2.0 * denom), -0.5, 0.5)
+    offset = jnp.where((d_star_i == 0) | (d_star_i == D - 1), 0.0, offset)
+    disp = d_star_i.astype(jnp.float32) + offset + min_disp
+    if quantize_16:
+        disp = jnp.round(disp * 16.0) / 16.0
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
+
+    if disp12 >= 0:
+        # disp2(x_r) = argmin_d S(x_r + d + md, d). The staircase access
+        # S(x+d, d) is a shear of the (D, W) planes: realized in log2(D)
+        # whole-block rolls (row d rolls left by d via its bit
+        # decomposition) instead of D per-plane rolls — Mosaic-friendly
+        # and O(log) ops. Ties pack as S*128 + d (exact in f32: S is an
+        # even integer ≤ ~70k) so the min carries argmin with
+        # first-occurrence tie-break, matching jnp.argmin.
+        md = min_disp
+        xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
+        BIGP = jnp.float32(1e9)
+        packed = S * 128.0 + dio.astype(jnp.float32)
+        if md:
+            packed = pltpu.roll(packed, W - (md % W), 2)
+        k = 1
+        while k < D:
+            rolled = pltpu.roll(packed, W - k, 2)
+            packed = jnp.where((dio & k) != 0, rolled, packed)
+            k *= 2
+        packed = jnp.where(xio3 + dio + md >= W, BIGP, packed)
+        m = jnp.min(packed, axis=1)                     # (R, W)
+        c2 = jnp.floor(m / 128.0)
+        disp2 = jnp.where(m < BIGP, m - c2 * 128.0 + md, -1.0)
+
+        # consistency at x_r = x - round(disp): shear disp2 the other way
+        # (row d holds disp2[x - (d+md)]), pick row rd - md per pixel.
+        # -2 marks x_r out of range (treated consistent, like the jnp
+        # path); -1 means no right match (inconsistent).
+        rd = jnp.round(disp)
+        shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
+        if md:
+            shr = pltpu.roll(shr, md % W, 2)
+        k = 1
+        while k < D:
+            rolled = pltpu.roll(shr, k, 2)
+            shr = jnp.where((dio & k) != 0, rolled, shr)
+            k *= 2
+        shr = jnp.where(xio3 < dio + md, -2.0, shr)
+        rsel = rd - md
+        cand = jnp.min(jnp.where(
+            dio.astype(jnp.float32) == rsel[:, None, :], shr, BIGP), axis=1)
+        sD = D + md
+        planeD = jnp.where(xio < sD, -2.0, pltpu.roll(disp2, sD % W, 1))
+        cand = jnp.where(rsel == float(D), planeD, cand)
+        ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
+              | (cand == -2.0) | (cand >= BIGP * 0.5))
+        valid = valid * jnp.where(ok, 1.0, 0.0)
+
+    out_ref[:] = jnp.where(valid > 0.0, disp, -1.0)
+
+
+def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
+                  params: SGBMParams, rows_per_step: int = 8,
+                  apply_lr: bool = True) -> jnp.ndarray:
+    """(H, D, W) partial path sums -> (H, W) float32 disparity, -1 invalid.
+
+    Bit-compatible with wta()+lr_check() from ops/sgbm.py on the summed
+    volume (tested)."""
+    H, D, W = S_down.shape
+    R = rows_per_step
+    assert H % R == 0
+
+    kernel = functools.partial(
+        _wta_lr_kernel, D=D, R=R, min_disp=params.min_disparity,
+        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
+        disp12=params.disp12_max_diff if apply_lr else -1)
+
+    spec = pl.BlockSpec((R, D, W), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(H // R,),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(S_down, S_up, S_h)
+
+
+# ---------------------------------------------------------------------------
+# speckle label-propagation kernel (connected components via log-doubling)
+# ---------------------------------------------------------------------------
+
+
+def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
+                           max_diff: float, num_iters: int):
+    """Min-label CCL, fully VMEM-resident.
+
+    Labels (min flat-index per 4-connected component of similar disparity)
+    converge via `num_iters` rounds of row+column segmented-min sweeps;
+    each sweep is a log2-depth doubling of (value, run-link) pairs using
+    whole-array rolls — pure VPU, no gathers. Invalid pixels carry label
+    H*W (sentinel). Semantics identical to the jnp segmented-scan CCL in
+    ops/sgbm.py (speckle_filter), which costs ~58 ms at 720p as XLA
+    associative scans vs ~4 ms here.
+    """
+    d = disp_ref[:]
+    valid = d >= 0.0
+    yio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    flat = (yio * W + xio).astype(jnp.float32)
+    sent = jnp.float32(H * W)
+    lab0 = jnp.where(valid, flat, sent)
+
+    def link(a, b, ok_mask):
+        return jnp.where(ok_mask & (d >= 0) & (b >= 0)
+                         & (jnp.abs(d - b) <= max_diff), 1.0, 0.0)
+
+    # connectivity to the left/up neighbor
+    d_l = pltpu.roll(d, 1, 1)
+    d_u = pltpu.roll(d, 1, 0)
+    c_h = link(d, d_l, xio >= 1)          # (H, W): linked to x-1
+    c_v = link(d, d_u, yio >= 1)          # linked to y-1
+
+    def sweep(lab, conn, axis, size, reverse):
+        """Segmented min along `axis`; conn marks link to index-1 along
+        axis. reverse sweeps from high to low indices."""
+        io = xio if axis == 1 else yio
+        # link to the next element when reversed: conn shifted by -1
+        if reverse:
+            c = jnp.where(io < size - 1, pltpu.roll(conn, size - 1, axis),
+                          0.0)
+        else:
+            c = conn
+        val = lab
+        k = 1
+        while k < size:
+            if reverse:
+                v_n = jnp.where(io >= size - k, _BIG,
+                                pltpu.roll(val, size - k, axis))
+                c_n = jnp.where(io >= size - k, 0.0,
+                                pltpu.roll(c, size - k, axis))
+            else:
+                v_n = jnp.where(io < k, _BIG, pltpu.roll(val, k, axis))
+                c_n = jnp.where(io < k, 0.0, pltpu.roll(c, k, axis))
+            val = jnp.where(c > 0, jnp.minimum(val, v_n), val)
+            c = c * c_n
+            k *= 2
+        return val
+
+    def body(_, lab):
+        lab = sweep(lab, c_h, 1, W, False)
+        lab = sweep(lab, c_h, 1, W, True)
+        lab = sweep(lab, c_v, 0, H, False)
+        lab = sweep(lab, c_v, 0, H, True)
+        return lab
+
+    lab = jax.lax.fori_loop(0, num_iters, body, lab0)
+    lab_ref[:] = jnp.where(valid, lab, sent)
+
+
+def speckle_labels_pallas(disp: jnp.ndarray, max_diff: float,
+                          num_iters: int = 8) -> jnp.ndarray:
+    """(H, W) disparity -> (H, W) float32 component labels (min flat
+    index; invalid pixels get H*W)."""
+    H, W = disp.shape
+    kernel = functools.partial(_speckle_labels_kernel, H=H, W=W,
+                               max_diff=float(max_diff),
+                               num_iters=num_iters)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(disp.astype(jnp.float32))
+
+
+def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
+                          max_diff: float, num_iters: int = 8
+                          ) -> jnp.ndarray:
+    """Full speckle filter: pallas CCL labels + XLA histogram sizes.
+
+    Equivalent to ops.sgbm.speckle_filter on (disp, disp>=0)."""
+    H, W = disp.shape
+    n = H * W
+    labels = speckle_labels_pallas(disp, max_diff, num_iters).astype(
+        jnp.int32)
+    valid = disp >= 0
+    sizes = jnp.zeros(n + 1, jnp.int32).at[labels.reshape(-1)].add(
+        valid.reshape(-1).astype(jnp.int32))
+    comp_size = jnp.take(sizes, labels)
+    return valid & (comp_size > max_size)

@@ -227,7 +227,7 @@ def lr_check_np(S: np.ndarray, disp: np.ndarray, valid: np.ndarray,
             if not out[y, x]:
                 continue
             d = disp[y, x]
-            xr = int(round(x - d))
+            xr = x - int(np.round(d))
             if 0 <= xr < W:
                 if disp2[xr] < 0 or abs(disp2[xr] - d) > params.disp12_max_diff:
                     out[y, x] = False
