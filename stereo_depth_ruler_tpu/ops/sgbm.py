@@ -40,8 +40,14 @@ _BIG = jnp.float32(1e9)
 
 def sobel_clip(img: jnp.ndarray, cap: int) -> jnp.ndarray:
     """3x3 x-Sobel clipped to [0, 2*cap] (preFilterCap semantics,
-    OpenCV tab[] prefilter). Replicate border. img: (H, W) any real dtype."""
-    p = jnp.pad(img.astype(jnp.float32), 1, mode="edge")
+    OpenCV tab[] prefilter). Replicate border. img: (H, W) any real dtype.
+
+    The image is truncated to int32 first (matching sobel_clip_np and
+    OpenCV's uint8 input), so the output — and every downstream cost/DP
+    value — is an exact small integer, which the Pallas kernels exploit
+    by computing in int32."""
+    img = img.astype(jnp.int32).astype(jnp.float32)
+    p = jnp.pad(img, 1, mode="edge")
     gx = (2.0 * (p[1:-1, 2:] - p[1:-1, :-2])
           + (p[:-2, 2:] - p[:-2, :-2])
           + (p[2:, 2:] - p[2:, :-2]))
@@ -244,19 +250,17 @@ def _segmented_min_scan(vals: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
 
 
 def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
-                   max_size: int, max_diff: float,
-                   num_iters: int = 16) -> jnp.ndarray:
+                   max_size: int, max_diff: float) -> jnp.ndarray:
     """Connected-component speckle removal (cv::filterSpeckles semantics)
     as iterated segmented min-sweeps — a gather-free, TPU-friendly CCL.
 
     Two pixels are connected (4-neighborhood) when both are valid and their
     disparities differ by ≤ max_diff. Labels (min flat-index per component)
     propagate via row- and column-directional segmented min scans
-    (associative, O(log) depth, pure VPU); ``num_iters`` row+column rounds
-    converge for any component needing ≤ num_iters direction changes,
-    which covers practical speckle shapes (tests verify exact agreement
-    with the flood-fill oracle). Components with ≤ max_size pixels are
-    invalidated.
+    (associative, O(log) depth, pure VPU), iterated **to convergence**
+    (`while_loop` on "any label changed"), so the result is the exact
+    flood-fill CCL for arbitrarily snaky components. Components with
+    ≤ max_size pixels are invalidated.
     """
     H, W = disp.shape
     n = H * W
@@ -275,12 +279,14 @@ def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
          & (jnp.abs(disp[1:] - disp[:-1]) <= max_diff)], axis=0)
     conn_vT = conn_v.T
 
-    def body(_, lab):
-        lab = _segmented_min_scan(lab, conn_h)
-        lab = _segmented_min_scan(lab.T, conn_vT).T
-        return lab
+    def body(state):
+        lab, _ = state
+        new = _segmented_min_scan(lab, conn_h)
+        new = _segmented_min_scan(new.T, conn_vT).T
+        return new, jnp.any(new != lab)
 
-    labels = jax.lax.fori_loop(0, num_iters, body, labels)
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (labels, jnp.bool_(True)))
     labels = labels.astype(jnp.int32)
 
     sizes = jnp.zeros(n + 1, jnp.int32).at[labels.reshape(-1)].add(

@@ -49,6 +49,7 @@ __all__ = ["build_cost_volume_pallas", "directional_pass_pallas",
            "wta_lr_pallas", "sgbm_pallas"]
 
 _BIG = 1e9
+_BIGI = 2 ** 28   # "infinity" for int32 DP (headroom: + P2 stays < 2^31)
 
 
 # ---------------------------------------------------------------------------
@@ -59,57 +60,68 @@ _BIG = 1e9
 def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
                      rt_ref, rmin_ref, rmax_ref,
                      out_ref, *, D: int, blk: int, block_size: int,
-                     out_dtype):
+                     out_dtype, group: int = 8):
     """One program computes out rows [i*blk, (i+1)*blk) for all D.
 
     Row inputs are pre-padded by ``r`` rows top+bottom on the host, so the
-    (blk + 2r) window starting at i*blk is always in-bounds. The right-eye
-    refs are left-padded by D columns (column-0 replication == the jnp
-    path's index clamp).
+    (blk + 2r) window starting at i*blk is always in-bounds. All values
+    are exact small integers carried in f32 (int32 compute measured
+    slightly slower on v5e; int16 vector min is unsupported by Mosaic).
+
+    The shift-by-one carry over d — rt_d[x] = rt[x-d] (column-0 clamped) —
+    is a static 1-lane right-shift with edge replication per iteration (no
+    dynamic lane slicing: Mosaic requires 128-aligned dynamic lane
+    offsets). The d loop runs as fori over D/group with the body unrolled
+    ``group`` times (pure fori was ~15% slower; full unroll blows up
+    Mosaic compile time).
     """
     r = block_size // 2
     W = lt_ref.shape[1]
     lt = lt_ref[:]
     lmin = lmin_ref[:]
     lmax = lmax_ref[:]
+    zero = jnp.float32(0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
 
-    # shift-by-one carry over d: rt_d[x] = rt[x-d] (column-0 clamped) is
-    # maintained by a static 1-lane right-shift with edge replication each
-    # iteration — no dynamic lane slicing (Mosaic would require 128-aligned
-    # dynamic lane offsets), no D-way unroll (remote compiles are slow).
-    def body(d, carry):
-        rt, rmin, rmax = carry
-        c_lr = jnp.maximum(0.0, jnp.maximum(lt - rmax, rmin - lt))
-        c_rl = jnp.maximum(0.0, jnp.maximum(rt - lmax, lmin - rt))
-        c = 2.0 * jnp.minimum(c_lr, c_rl)          # (rows, W)
+    def one_d(d_out, rt, rmin, rmax):
+        # inputs arrive pre-doubled (2*img, minmax of 2*img), so
+        # min(c_lr, c_rl) here equals the spec's 2*min on original values
+        c_lr = jnp.maximum(zero, jnp.maximum(lt - rmax, rmin - lt))
+        c_rl = jnp.maximum(zero, jnp.maximum(rt - lmax, lmin - rt))
+        c = jnp.minimum(c_lr, c_rl)                # (rows, W)
         # vertical box sum: out row j <- sum of padded rows j..j+2r
         cv = c[0:blk, :]
         for dy in range(1, block_size):
             cv = cv + c[dy:dy + blk, :]
-        # horizontal box sum with edge replication
-        left_edge = cv[:, 0:1]
-        right_edge = cv[:, W - 1:W]
+        # horizontal box sum with edge replication (cyclic rolls + edge
+        # selects; rolled-in wrap lanes are overridden by the selects)
+        left_edge = jnp.broadcast_to(cv[:, 0:1], (blk, W))
+        right_edge = jnp.broadcast_to(
+            pltpu.roll(cv, 1, 1)[:, 0:1], (blk, W))
         acc = cv
         for dx in range(1, r + 1):
-            sh_l = jnp.concatenate(
-                [jnp.broadcast_to(left_edge, (blk, dx)), cv[:, :W - dx]],
-                axis=1)
-            sh_r = jnp.concatenate(
-                [cv[:, dx:], jnp.broadcast_to(right_edge, (blk, dx))],
-                axis=1)
+            sh_l = jnp.where(xio < dx, left_edge, pltpu.roll(cv, dx, 1))
+            sh_r = jnp.where(xio >= W - dx, right_edge,
+                             pltpu.roll(cv, W - dx, 1))
             acc = acc + sh_l + sh_r
-        out_ref[pl.ds(d, 1)] = acc[None].astype(out_dtype)
+        out_ref[pl.ds(d_out, 1)] = acc[None].astype(out_dtype)
 
-        def sh1(a):   # x-d-1 sampling: shift right, replicate left edge
-            return jnp.concatenate([a[:, :1], a[:, :W - 1]], axis=1)
+    def sh1(a):   # x-d-1 sampling: shift right, replicate left edge
+        return jnp.concatenate([a[:, :1], a[:, :W - 1]], axis=1)
 
-        return sh1(rt), sh1(rmin), sh1(rmax)
+    def body_group(g, carry):
+        rt, rmin, rmax = carry
+        for j in range(group):
+            one_d(g * group + j, rt, rmin, rmax)
+            rt, rmin, rmax = sh1(rt), sh1(rmin), sh1(rmax)
+        return rt, rmin, rmax
 
-    jax.lax.fori_loop(0, D, body, (rt_ref[:], rmin_ref[:], rmax_ref[:]))
+    jax.lax.fori_loop(0, D // group, body_group,
+                      (rt_ref[:], rmin_ref[:], rmax_ref[:]))
 
 
 def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
-                             params: SGBMParams, blk: int = 8,
+                             params: SGBMParams, blk: int = 16,
                              out_dtype=jnp.float32) -> jnp.ndarray:
     """(H, W) Sobel-clipped eyes -> (H, D, W) box-aggregated BT cost.
 
@@ -118,16 +130,23 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
     H, W = lt.shape
     D = params.num_disparities
     r = params.block_size // 2
-    assert H % blk == 0, (H, blk)
+    while H % blk:
+        blk //= 2
+    group = 16
+    while D % group:
+        group //= 2
 
-    lmin, lmax = _bt_minmax(lt)
-    rmin, rmax = _bt_minmax(rt)
+    lt = lt.astype(jnp.float32)
+    rt = rt.astype(jnp.float32)
+    # BT half-sample min/max: values are half-integers; double everything
+    # so all kernel values are exact (small) integers in f32 — the cost
+    # doubling 2*min is folded as c = min(2*c_lr', 2*c_rl') with the
+    # doubled-minmax terms
+    lmin2, lmax2 = _bt_minmax(2 * lt)
+    rmin2, rmax2 = _bt_minmax(2 * rt)
 
     def pad_rows(a):
         return jnp.pad(a, ((r, r), (0, 0)), mode="edge")
-
-    lt_p, lmin_p, lmax_p = pad_rows(lt), pad_rows(lmin), pad_rows(lmax)
-    rt_p, rmin_p, rmax_p = pad_rows(rt), pad_rows(rmin), pad_rows(rmax)
 
     # Mosaic requires sublane block extents to be multiples of 8
     rows = ((blk + 2 * r + 7) // 8) * 8
@@ -144,8 +163,8 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         idx = jnp.minimum(idx, a.shape[0] - 1)
         return a[idx]                       # (nblk, rows, w)
 
-    ins = [windows(x) for x in
-           (lt_p, lmin_p, lmax_p, rt_p, rmin_p, rmax_p)]
+    ins = [windows(pad_rows(x)) for x in
+           (2 * lt, lmin2, lmax2, 2 * rt, rmin2, rmax2)]
 
     def spec3(w):
         return pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
@@ -155,7 +174,8 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         _cost_box_kernel(lt_r.at[0], lmin_r.at[0], lmax_r.at[0],
                          rt_r.at[0], rmin_r.at[0], rmax_r.at[0],
                          out_ref, D=D, blk=blk,
-                         block_size=params.block_size, out_dtype=out_dtype)
+                         block_size=params.block_size, out_dtype=out_dtype,
+                         group=group)
 
     C_dhw = pl.pallas_call(
         kernel3,
@@ -164,6 +184,8 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         out_specs=pl.BlockSpec((D, blk, W), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, H, W), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
     # (D, H, W) -> (H, D, W): the directional kernels consume (N, D, W)
     # slabs (leading-dim grid, last-two-dims tiling constraints)
@@ -175,9 +197,21 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _dir_pass_kernel(c_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
-                     *, P1: float, P2: float, with_diag: bool, D: int):
-    """Volume layout (N, D, W): one (1, D, W) slab per sequential step."""
+def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
+                     accumulate: bool, D: int, K: int, reverse: bool):
+    """Volume layout (N, D, W): one (K, D, W) slab per sequential grid
+    step, rows iterated in scan order inside the kernel (K-row slabs cut
+    the sequential grid from N steps to N/K — per-step pipeline overhead
+    across the 4 passes is several ms at N=720/1280).
+
+    With ``accumulate`` an extra input (aliased to the output) carries the
+    running path sum; the kernel adds into it, so down+up (and fwd+bwd)
+    pairs produce one summed volume with no separate XLA add pass.
+    """
+    if accumulate:
+        a_ref, out_ref, lv_ref, ldr_ref, ldl_ref = refs
+    else:
+        out_ref, lv_ref, ldr_ref, ldl_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -187,52 +221,63 @@ def _dir_pass_kernel(c_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
             ldr_ref[:] = jnp.zeros_like(ldr_ref)
             ldl_ref[:] = jnp.zeros_like(ldl_ref)
 
-    c = c_ref[0].astype(jnp.float32)              # (D, W)
-    W = c.shape[1]
+    for j in range(K):
+        jj = K - 1 - j if reverse else j
+        c = c_ref[jj].astype(jnp.float32)          # (D, W)
+        W = c.shape[1]
 
-    def update(Lprev):
-        minL = jnp.min(Lprev, axis=0, keepdims=True)
-        big = jnp.full((1, W), _BIG, jnp.float32)
-        lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
-        lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
-        best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
-                           jnp.minimum(lm1, lp1) + P1)
-        return c + best - minL
+        def update(Lprev):
+            minL = jnp.min(Lprev, axis=0, keepdims=True)
+            big = jnp.full((1, W), _BIG, jnp.float32)
+            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
+            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
+            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
+                               jnp.minimum(lm1, lp1) + P1)
+            return c + best - minL
 
-    Lv = update(lv_ref[:])
-    lv_ref[:] = Lv
-    if with_diag:
-        zcol = jnp.zeros((D, 1), jnp.float32)
-        pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
-        pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
-        Ldr = update(pdr)
-        Ldl = update(pdl)
-        ldr_ref[:] = Ldr
-        ldl_ref[:] = Ldl
-        out_ref[0] = (Lv + Ldr + Ldl).astype(out_ref.dtype)
-    else:
-        out_ref[0] = Lv.astype(out_ref.dtype)
+        Lv = update(lv_ref[:])
+        lv_ref[:] = Lv
+        out = Lv
+        if with_diag:
+            zcol = jnp.zeros((D, 1), jnp.float32)
+            pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
+            pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
+            Ldr = update(pdr)
+            Ldl = update(pdl)
+            ldr_ref[:] = Ldr
+            ldl_ref[:] = Ldl
+            out = out + Ldr + Ldl
+        if accumulate:
+            out = out + a_ref[jj].astype(jnp.float32)
+        out_ref[jj] = out.astype(out_ref.dtype)
 
 
 def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             reverse: bool, with_diag: bool,
-                            out_dtype=None) -> jnp.ndarray:
+                            out_dtype=None, acc: jnp.ndarray = None,
+                            rows_per_step: int = 4) -> jnp.ndarray:
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
     volume); reverse=True scans N-1→0. with_diag fuses the two diagonal
-    paths (carry lane-shifts) with the axial path.
+    paths (carry lane-shifts) with the axial path. ``acc`` (same shape)
+    is added into the output in-kernel (donated/aliased), fusing the
+    down+up path-sum accumulation into the pass itself.
     """
     N, D, W = C.shape
     out_dtype = out_dtype or C.dtype
+    K = rows_per_step
+    while N % K:
+        K //= 2
 
     if reverse:
-        idx = lambda i: (N - 1 - i, 0, 0)
+        idx = lambda i: (N // K - 1 - i, 0, 0)
     else:
         idx = lambda i: (i, 0, 0)
 
     kernel = functools.partial(_dir_pass_kernel, P1=float(P1), P2=float(P2),
-                               with_diag=with_diag, D=D)
+                               with_diag=with_diag, accumulate=acc is not None,
+                               D=D, K=K, reverse=reverse)
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
         scratch += [pltpu.VMEM((D, W), jnp.float32),
@@ -242,14 +287,20 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
         scratch += [pltpu.VMEM((8, 128), jnp.float32),
                     pltpu.VMEM((8, 128), jnp.float32)]
 
+    spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
+    ins = [C] if acc is None else [C, acc]
+    aliases = {} if acc is None else {1: 0}
     return pl.pallas_call(
         kernel,
-        grid=(N,),
-        in_specs=[pl.BlockSpec((1, D, W), idx, memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, D, W), idx, memory_space=pltpu.VMEM),
+        grid=(N // K,),
+        in_specs=[spec] * len(ins),
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((N, D, W), out_dtype),
         scratch_shapes=scratch,
-    )(C)
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(*ins)
 
 
 # ---------------------------------------------------------------------------
@@ -371,13 +422,20 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
         # S(x+d, d) is a shear of the (D, W) planes: realized in log2(D)
         # whole-block rolls (row d rolls left by d via its bit
         # decomposition) instead of D per-plane rolls — Mosaic-friendly
-        # and O(log) ops. Ties pack as S*128 + d (exact in f32: S is an
-        # even integer ≤ ~70k) so the min carries argmin with
-        # first-occurrence tie-break, matching jnp.argmin.
+        # and O(log) ops. Ties pack as S*PK + d so the min carries argmin
+        # with first-occurrence tie-break, matching jnp.argmin. For
+        # D <= 128 the pack stays f32 (exact: 8-path S*128 < 2^24); for
+        # larger D the pack switches to int32 (f32 would lose the d bits).
         md = min_disp
+        PK = 1 << max(D - 1, 1).bit_length()
+        use_i32 = PK > 128
         xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
-        BIGP = jnp.float32(1e9)
-        packed = S * 128.0 + dio.astype(jnp.float32)
+        if use_i32:
+            BIGP = jnp.int32(_BIGI)
+            packed = S.astype(jnp.int32) * PK + dio
+        else:
+            BIGP = jnp.float32(_BIG)
+            packed = S * float(PK) + dio.astype(jnp.float32)
         if md:
             packed = pltpu.roll(packed, W - (md % W), 2)
         k = 1
@@ -387,13 +445,17 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
             k *= 2
         packed = jnp.where(xio3 + dio + md >= W, BIGP, packed)
         m = jnp.min(packed, axis=1)                     # (R, W)
-        c2 = jnp.floor(m / 128.0)
-        disp2 = jnp.where(m < BIGP, m - c2 * 128.0 + md, -1.0)
+        # disp2 sentinel values: -1 = no right match, -2 = x_r out of
+        # range (consistent by convention), >= BIGP/2 = masked
+        if use_i32:
+            disp2 = jnp.where(m < BIGP, (m & (PK - 1)) + md,
+                              -1).astype(jnp.float32)
+        else:
+            c2 = jnp.floor(m / float(PK))
+            disp2 = jnp.where(m < BIGP, m - c2 * PK + md, -1.0)
 
         # consistency at x_r = x - round(disp): shear disp2 the other way
         # (row d holds disp2[x - (d+md)]), pick row rd - md per pixel.
-        # -2 marks x_r out of range (treated consistent, like the jnp
-        # path); -1 means no right match (inconsistent).
         rd = jnp.round(disp)
         shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
         if md:
@@ -406,12 +468,13 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
         shr = jnp.where(xio3 < dio + md, -2.0, shr)
         rsel = rd - md
         cand = jnp.min(jnp.where(
-            dio.astype(jnp.float32) == rsel[:, None, :], shr, BIGP), axis=1)
+            dio.astype(jnp.float32) == rsel[:, None, :], shr, _BIG),
+            axis=1)
         sD = D + md
         planeD = jnp.where(xio < sD, -2.0, pltpu.roll(disp2, sD % W, 1))
         cand = jnp.where(rsel == float(D), planeD, cand)
         ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
-              | (cand == -2.0) | (cand >= BIGP * 0.5))
+              | (cand == -2.0) | (cand >= _BIG * 0.5))
         valid = valid * jnp.where(ok, 1.0, 0.0)
 
     out_ref[:] = jnp.where(valid > 0.0, disp, -1.0)
@@ -453,30 +516,35 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
 
 
 def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
-                           max_diff: float, num_iters: int):
+                           max_diff: float):
     """Min-label CCL, fully VMEM-resident.
 
     Labels (min flat-index per 4-connected component of similar disparity)
-    converge via `num_iters` rounds of row+column segmented-min sweeps;
-    each sweep is a log2-depth doubling of (value, run-link) pairs using
-    whole-array rolls — pure VPU, no gathers. Invalid pixels carry label
-    H*W (sentinel). Semantics identical to the jnp segmented-scan CCL in
-    ops/sgbm.py (speckle_filter), which costs ~58 ms at 720p as XLA
-    associative scans vs ~4 ms here.
+    converge via row+column segmented-min sweeps iterated **to
+    convergence** (while_loop on "any label changed" — exact flood-fill
+    CCL for arbitrarily snaky components); each sweep is a log2-depth
+    doubling of (value, run-link) pairs using whole-array rolls — pure
+    VPU, no gathers. Invalid pixels carry label H*W (sentinel). Semantics
+    identical to the jnp segmented-scan CCL in ops/sgbm.py
+    (speckle_filter), which costs ~58 ms at 720p as XLA associative scans
+    vs ~3 ms here.
     """
     d = disp_ref[:]
     valid = d >= 0.0
     yio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    flat = (yio * W + xio).astype(jnp.float32)
-    sent = jnp.float32(H * W)
+    flat = yio * W + xio
+    sent = jnp.int32(H * W)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
     lab0 = jnp.where(valid, flat, sent)
 
     def link(a, b, ok_mask):
         return jnp.where(ok_mask & (d >= 0) & (b >= 0)
-                         & (jnp.abs(d - b) <= max_diff), 1.0, 0.0)
+                         & (jnp.abs(d - b) <= max_diff), one, zero)
 
-    # connectivity to the left/up neighbor
+    # connectivity to the left/up neighbor (disparity math stays f32;
+    # labels and links are int32 — i32 min/add is faster on the VPU)
     d_l = pltpu.roll(d, 1, 1)
     d_u = pltpu.roll(d, 1, 0)
     c_h = link(d, d_l, xio >= 1)          # (H, W): linked to x-1
@@ -489,66 +557,88 @@ def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
         # link to the next element when reversed: conn shifted by -1
         if reverse:
             c = jnp.where(io < size - 1, pltpu.roll(conn, size - 1, axis),
-                          0.0)
+                          zero)
         else:
             c = conn
         val = lab
         k = 1
         while k < size:
             if reverse:
-                v_n = jnp.where(io >= size - k, _BIG,
+                v_n = jnp.where(io >= size - k, _BIGI,
                                 pltpu.roll(val, size - k, axis))
-                c_n = jnp.where(io >= size - k, 0.0,
+                c_n = jnp.where(io >= size - k, zero,
                                 pltpu.roll(c, size - k, axis))
             else:
-                v_n = jnp.where(io < k, _BIG, pltpu.roll(val, k, axis))
-                c_n = jnp.where(io < k, 0.0, pltpu.roll(c, k, axis))
+                v_n = jnp.where(io < k, _BIGI, pltpu.roll(val, k, axis))
+                c_n = jnp.where(io < k, zero, pltpu.roll(c, k, axis))
             val = jnp.where(c > 0, jnp.minimum(val, v_n), val)
             c = c * c_n
             k *= 2
         return val
 
-    def body(_, lab):
-        lab = sweep(lab, c_h, 1, W, False)
-        lab = sweep(lab, c_h, 1, W, True)
-        lab = sweep(lab, c_v, 0, H, False)
-        lab = sweep(lab, c_v, 0, H, True)
-        return lab
+    def body(state):
+        lab, _ = state
+        new = sweep(lab, c_h, 1, W, False)
+        new = sweep(new, c_h, 1, W, True)
+        new = sweep(new, c_v, 0, H, False)
+        new = sweep(new, c_v, 0, H, True)
+        return new, jnp.any(new != lab)
 
-    lab = jax.lax.fori_loop(0, num_iters, body, lab0)
+    lab, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                (lab0, jnp.bool_(True)))
     lab_ref[:] = jnp.where(valid, lab, sent)
 
 
-def speckle_labels_pallas(disp: jnp.ndarray, max_diff: float,
-                          num_iters: int = 8) -> jnp.ndarray:
-    """(H, W) disparity -> (H, W) float32 component labels (min flat
+def speckle_labels_pallas(disp: jnp.ndarray,
+                          max_diff: float) -> jnp.ndarray:
+    """(H, W) disparity -> (H, W) int32 component labels (min flat
     index; invalid pixels get H*W)."""
     H, W = disp.shape
     kernel = functools.partial(_speckle_labels_kernel, H=H, W=W,
-                               max_diff=float(max_diff),
-                               num_iters=num_iters)
+                               max_diff=float(max_diff))
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(disp.astype(jnp.float32))
 
 
-def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
-                          max_diff: float, num_iters: int = 8
-                          ) -> jnp.ndarray:
-    """Full speckle filter: pallas CCL labels + XLA histogram sizes.
+def component_sizes_sorted(labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-element count of equal values in ``labels`` (any shape, int32).
 
-    Equivalent to ops.sgbm.speckle_filter on (disp, disp>=0)."""
-    H, W = disp.shape
-    n = H * W
-    labels = speckle_labels_pallas(disp, max_diff, num_iters).astype(
-        jnp.int32)
+    Sort-based: a pair sort groups equal labels into runs, run lengths come
+    from two associative scans, and a second pair sort unpermutes. ~6 ms at
+    720p on v5e vs ~16 ms for XLA scatter-add histogram + gather (both are
+    effectively serialized per element on TPU)."""
+    n = labels.size
+    flat = labels.reshape(-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    skey, sidx = jax.lax.sort_key_val(flat, pos)
+    newrun = skey[1:] != skey[:-1]
+    start = jnp.concatenate([jnp.array([True]), newrun])
+    end = jnp.concatenate([newrun, jnp.array([True])])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(start, pos, 0))
+    run_end = jax.lax.associative_scan(jnp.minimum,
+                                       jnp.where(end, pos, n - 1),
+                                       reverse=True)
+    size_sorted = run_end - run_start + 1
+    _, sizes = jax.lax.sort_key_val(sidx, size_sorted)
+    return sizes.reshape(labels.shape)
+
+
+def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
+                          max_diff: float) -> jnp.ndarray:
+    """Full speckle filter: pallas CCL labels + sort-based component sizes.
+
+    Equivalent to ops.sgbm.speckle_filter on (disp, disp>=0). Every member
+    of a component is valid (invalid pixels carry the sentinel label), so
+    counting all label occurrences equals the valid-only histogram for
+    valid pixels; invalid pixels are masked below."""
+    labels = speckle_labels_pallas(disp, max_diff)
     valid = disp >= 0
-    sizes = jnp.zeros(n + 1, jnp.int32).at[labels.reshape(-1)].add(
-        valid.reshape(-1).astype(jnp.int32))
-    comp_size = jnp.take(sizes, labels)
+    comp_size = component_sizes_sorted(labels)
     return valid & (comp_size > max_size)

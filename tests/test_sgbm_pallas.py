@@ -72,3 +72,24 @@ def test_directional_pass_reverse(cost):
         down_flipped = np.asarray(sp.directional_pass_pallas(
             C[::-1], PARAMS.P1, PARAMS.P2, reverse=False, with_diag=False))
     np.testing.assert_array_equal(up, down_flipped[::-1])
+
+
+def test_speckle_pallas_parity():
+    """pallas CCL + sort-based sizes == jnp speckle filter (exact)."""
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        disp = rng.integers(0, 5, (32, 128)).astype(np.float32)
+        disp[rng.uniform(size=disp.shape) < 0.25] = -1.0
+        d = jnp.asarray(disp)
+        ref = np.asarray(js.speckle_filter(d, d >= 0, 8, 1.0))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(sp.speckle_filter_pallas(d, 8, 1.0))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_component_sizes_sorted():
+    rng = np.random.default_rng(3)
+    lab = rng.integers(0, 17, (23, 41)).astype(np.int32)
+    sizes = np.asarray(sp.component_sizes_sorted(jnp.asarray(lab)))
+    counts = np.bincount(lab.reshape(-1), minlength=lab.max() + 1)
+    np.testing.assert_array_equal(sizes, counts[lab])

@@ -1,0 +1,78 @@
+"""Stage-by-stage TPU timing of the Pallas SGBM pipeline (dev tool).
+
+Times each compiled stage with the chained-fori trick so async dispatch
+can't hide the work. Run as the only JAX process.
+"""
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams, sobel_clip
+from stereo_depth_ruler_tpu.ops import sgbm_pallas as sp
+
+H, W, D = 720, 1280, 128
+params = SGBMParams(num_disparities=D, block_size=5,
+                    speckle_window_size=200, speckle_range=2)
+
+
+def timeit(name, fn, *args, iters=20):
+    f = jax.jit(fn)
+    out = jax.block_until_ready(f(*args))
+
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            o = fn(*jax.tree.map(
+                lambda x: (x + acc * 1e-20).astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, a))
+            leaves = jax.tree.leaves(o)
+            return acc + jnp.sum(leaves[0][:1, :1].astype(jnp.float32)) * 1e-30
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chained(*args))
+    t0 = time.perf_counter()
+    float(chained(*args))
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{name:36s} {dt:8.3f} ms", file=sys.stderr, flush=True)
+    return out, dt
+
+
+rng = np.random.default_rng(0)
+left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+lt = jax.jit(lambda a: sobel_clip(a, params.pre_filter_cap))(left)
+rt = jax.jit(lambda a: sobel_clip(a, params.pre_filter_cap))(right)
+
+C, t_cost = timeit("cost_build (H,D,W) int16",
+                   lambda a, b: sp.build_cost_volume_pallas(a, b, params,
+                                                            out_dtype=jnp.int16),
+                   lt, rt)
+Ct, t_tr1 = timeit("transpose (H,D,W)->(W,D,H)",
+                   lambda c: jnp.transpose(c, (2, 1, 0)), C)
+P1, P2 = params.P1, params.P2
+_, t_h1 = timeit("dir pass fwd (W grid, no diag)",
+                 lambda c: sp.directional_pass_pallas(c, P1, P2, False, False), Ct)
+_, t_h2 = timeit("dir pass bwd (W grid, no diag)",
+                 lambda c: sp.directional_pass_pallas(c, P1, P2, True, False), Ct)
+Sh, t_add = timeit("add 2 vols + transpose back",
+                   lambda a, b: jnp.transpose(a + b, (2, 1, 0)), Ct, Ct)
+_, t_d = timeit("dir pass down (H grid, diag)",
+                lambda c: sp.directional_pass_pallas(c, P1, P2, False, True), C)
+_, t_u = timeit("dir pass up (H grid, diag)",
+                lambda c: sp.directional_pass_pallas(c, P1, P2, True, True), C)
+disp, t_wta = timeit("fused WTA/LR",
+                     lambda a, b, c: sp.wta_lr_pallas(a, b, c, params), C, C, Sh)
+_, t_spk = timeit("speckle (pallas CCL + hist)",
+                  lambda d: sp.speckle_filter_pallas(d, 200, 2.0), disp)
+_, t_all = timeit("full sgbm_pallas",
+                  lambda a, b: sp.sgbm_pallas(a, b, params), left, right)
+
+tot = t_cost + t_tr1 + t_h1 + t_h2 + t_add + t_d + t_u + t_wta + t_spk
+print(f"{'sum of stages':36s} {tot:8.3f} ms", file=sys.stderr)
