@@ -37,9 +37,11 @@ def make_inputs(batch=BATCH):
     return rig, np.stack(lefts), np.stack(rights)
 
 
-def bench_opencv(lefts, rights, frames=2):
+def bench_opencv(lefts, rights, frames=6, trials=3):
     """Reference-parameter cv2.StereoSGBM at the headline config
-    (numDisparities=128; other params as stereo_disparity.cpp:5-9)."""
+    (numDisparities=128; other params as stereo_disparity.cpp:5-9).
+    Takes the best of ``trials`` runs (the CPU number is noisy on the
+    2-vCPU host; the fastest trial is the fairest baseline)."""
     import cv2
     matcher = cv2.StereoSGBM_create(
         minDisparity=0, numDisparities=D, blockSize=5,
@@ -47,13 +49,13 @@ def bench_opencv(lefts, rights, frames=2):
         uniquenessRatio=12, speckleWindowSize=200, speckleRange=2,
         mode=cv2.STEREO_SGBM_MODE_SGBM_3WAY)
     matcher.compute(lefts[0], rights[0])  # warm
-    t0 = time.perf_counter()
-    n = 0
-    while n < frames:
-        matcher.compute(lefts[n % len(lefts)], rights[n % len(rights)])
-        n += 1
-    dt = time.perf_counter() - t0
-    return n / dt
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for n in range(frames):
+            matcher.compute(lefts[n % len(lefts)], rights[n % len(rights)])
+        best = max(best, frames / (time.perf_counter() - t0))
+    return best
 
 
 def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):

@@ -46,7 +46,7 @@ from .sgbm import SGBMParams, _bt_minmax, lr_check, sobel_clip, speckle_filter, 
 
 __all__ = ["build_cost_volume_pallas", "directional_pass_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
-           "wta_lr_pallas", "sgbm_pallas"]
+           "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas"]
 
 _BIG = 1e9
 _BIGI = 2 ** 28   # "infinity" for int32 DP (headroom: + P2 stays < 2^31)
@@ -335,15 +335,15 @@ def aggregate_paths_pallas(cost_hwd: jnp.ndarray, P1: float, P2: float,
 def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                 params: SGBMParams = SGBMParams(),
                 apply_lr: bool = True, apply_speckle: bool = True,
-                cost_blk: int = 8, fused_wta: bool = True,
+                cost_blk: int = 48, fused_wta: bool = True,
                 volume_dtype=jnp.int16) -> jnp.ndarray:
     """Full SGBM with Pallas cost-build + aggregation + WTA kernels.
 
     Drop-in equivalent of ops.sgbm.sgbm (same float32 disparity output,
-    invalid = -1.0). With ``fused_wta`` (8/4-path), the partial path-sum
-    volumes feed the fused WTA/uniqueness/subpixel/LR kernel and are read
-    exactly once; otherwise the jnp postprocessing runs on the summed
-    volume. Speckle filtering stays in jnp (gather-free segmented scans).
+    invalid = -1.0). With ``fused_wta`` (8/4-path), the up pass and the
+    WTA/uniqueness/subpixel/LR stage run as one fused kernel (the up-path
+    volume never touches HBM); otherwise the jnp postprocessing runs on
+    the summed volume.
     """
     cap = params.pre_filter_cap
     lt = sobel_clip(left.astype(jnp.float32), cap)
@@ -361,8 +361,8 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
             directional_pass_pallas(Ct, P1, P2, False, False)
             + directional_pass_pallas(Ct, P1, P2, True, False), (2, 1, 0))
         S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
-        S_up = directional_pass_pallas(C, P1, P2, True, with_diag)
-        disp = wta_lr_pallas(S_down, S_up, S_h, params, apply_lr=apply_lr)
+        disp = up_wta_pallas(C, S_down, S_h, params, apply_lr=apply_lr,
+                             with_diag=with_diag)
         valid = disp >= 0
     else:
         S = aggregate_paths_pallas_hdw(C, P1, P2, params.num_paths)
@@ -383,17 +383,14 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
-                   min_disp: int, uniq: int, quantize_16: bool,
-                   disp12: int):
-    """Per grid step: R rows. Reads the 3 partial path-sum volumes and
-    emits final float disparity (invalid = -1) in one pass — replaces the
-    jnp wta + lr_check stages (which cost 35 + 19 ms at 720p128 as
-    separate XLA passes; fused here the volumes are read exactly once).
+def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
+              quantize_16: bool, disp12: int):
+    """(R, D, W) summed path volume -> (R, W) f32 disparity (-1 invalid).
+
+    WTA + uniqueness + subpixel + LR-consistency in one vectorized body;
+    shared by the standalone WTA kernel and the fused up-pass+WTA kernel.
     """
-    W = out_ref.shape[1]
-    S = (sd_ref[:].astype(jnp.float32) + su_ref[:].astype(jnp.float32)
-         + sh_ref[:].astype(jnp.float32))                    # (R, D, W)
+    W = S.shape[2]
     dio = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 1)
     s0 = jnp.min(S, axis=1)                                  # (R, W)
     s0b = s0[:, None, :]
@@ -477,7 +474,117 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
               | (cand == -2.0) | (cand >= _BIG * 0.5))
         valid = valid * jnp.where(ok, 1.0, 0.0)
 
-    out_ref[:] = jnp.where(valid > 0.0, disp, -1.0)
+    return jnp.where(valid > 0.0, disp, -1.0)
+
+
+def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
+                   min_disp: int, uniq: int, quantize_16: bool,
+                   disp12: int):
+    """Per grid step: R rows. Reads the 3 partial path-sum volumes and
+    emits final float disparity (invalid = -1) in one pass — replaces the
+    jnp wta + lr_check stages (which cost 35 + 19 ms at 720p128 as
+    separate XLA passes; fused here the volumes are read exactly once).
+    """
+    S = (sd_ref[:].astype(jnp.float32) + su_ref[:].astype(jnp.float32)
+         + sh_ref[:].astype(jnp.float32))                    # (R, D, W)
+    out_ref[:] = _wta_body(S, D=D, R=R, min_disp=min_disp, uniq=uniq,
+                           quantize_16=quantize_16, disp12=disp12)
+
+
+def _up_wta_kernel(c_ref, sd_ref, sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
+                   *, P1: float, P2: float, with_diag: bool, D: int, K: int,
+                   min_disp: int, uniq: int, quantize_16: bool, disp12: int):
+    """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
+    (grid scans H bottom-up). The up-path contributions never touch HBM —
+    each row's L_up (+diagonals) is summed with the S_down and S_h slabs
+    in VMEM and the slab goes straight into the WTA body, saving one
+    full volume write + read (~0.6 ms at 720p/128)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        lv_ref[:] = jnp.zeros_like(lv_ref)
+        if with_diag:
+            ldr_ref[:] = jnp.zeros_like(ldr_ref)
+            ldl_ref[:] = jnp.zeros_like(ldl_ref)
+
+    rows = []
+    for j in range(K):
+        jj = K - 1 - j                             # bottom-up inside slab
+        c = c_ref[jj].astype(jnp.float32)          # (D, W)
+        W = c.shape[1]
+
+        def update(Lprev):
+            minL = jnp.min(Lprev, axis=0, keepdims=True)
+            big = jnp.full((1, W), _BIG, jnp.float32)
+            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
+            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
+            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
+                               jnp.minimum(lm1, lp1) + P1)
+            return c + best - minL
+
+        Lv = update(lv_ref[:])
+        lv_ref[:] = Lv
+        up = Lv
+        if with_diag:
+            zcol = jnp.zeros((D, 1), jnp.float32)
+            pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
+            pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
+            Ldr = update(pdr)
+            Ldl = update(pdl)
+            ldr_ref[:] = Ldr
+            ldl_ref[:] = Ldl
+            up = up + Ldr + Ldl
+        S_row = (up + sd_ref[jj].astype(jnp.float32)
+                 + sh_ref[jj].astype(jnp.float32))
+        rows.append((jj, S_row))
+
+    S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
+    out_ref[:] = _wta_body(S, D=D, R=K, min_disp=min_disp, uniq=uniq,
+                           quantize_16=quantize_16, disp12=disp12)
+
+
+def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray, S_h: jnp.ndarray,
+                  params: SGBMParams, rows_per_step: int = 8,
+                  apply_lr: bool = True, with_diag: bool = True
+                  ) -> jnp.ndarray:
+    """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the two partial
+    path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible
+    with directional_pass_pallas(reverse=True) + wta_lr_pallas."""
+    H, D, W = C.shape
+    K = rows_per_step
+    while H % K:
+        K //= 2
+    # the (K, W) disparity output block needs K % 8 == 0 in compiled mode
+    assert K % 8 == 0, (H, rows_per_step)
+    idx = lambda i: (H // K - 1 - i, 0, 0)
+
+    kernel = functools.partial(
+        _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
+        with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
+        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
+        disp12=params.disp12_max_diff if apply_lr else -1)
+
+    scratch = [pltpu.VMEM((D, W), jnp.float32)]
+    if with_diag:
+        scratch += [pltpu.VMEM((D, W), jnp.float32),
+                    pltpu.VMEM((D, W), jnp.float32)]
+    else:
+        scratch += [pltpu.VMEM((8, 128), jnp.float32),
+                    pltpu.VMEM((8, 128), jnp.float32)]
+
+    spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(H // K,),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((K, W), lambda i: (H // K - 1 - i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(C, S_down, S_h)
 
 
 def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,

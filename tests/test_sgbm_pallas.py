@@ -93,3 +93,21 @@ def test_component_sizes_sorted():
     sizes = np.asarray(sp.component_sizes_sorted(jnp.asarray(lab)))
     counts = np.bincount(lab.reshape(-1), minlength=lab.max() + 1)
     np.testing.assert_array_equal(sizes, counts[lab])
+
+
+def test_up_wta_fused_parity(cost):
+    """Fused up-pass+WTA == separate up pass + wta_lr_pallas."""
+    _, _, C_ref = cost
+    C = jnp.transpose(jnp.asarray(C_ref), (0, 2, 1))  # (H, D, W)
+    P1, P2 = PARAMS.P1, PARAMS.P2
+    with pltpu.force_tpu_interpret_mode():
+        Ct = jnp.transpose(C, (2, 1, 0))
+        S_h = jnp.transpose(
+            sp.directional_pass_pallas(Ct, P1, P2, False, False)
+            + sp.directional_pass_pallas(Ct, P1, P2, True, False),
+            (2, 1, 0))
+        S_down = sp.directional_pass_pallas(C, P1, P2, False, True)
+        S_up = sp.directional_pass_pallas(C, P1, P2, True, True)
+        ref = np.asarray(sp.wta_lr_pallas(S_down, S_up, S_h, PARAMS))
+        got = np.asarray(sp.up_wta_pallas(C, S_down, S_h, PARAMS))
+    np.testing.assert_array_equal(got, ref)
