@@ -198,7 +198,8 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
 
 
 def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
-                     accumulate: bool, D: int, K: int, reverse: bool):
+                     accumulate: bool, D: int, K: int, reverse: bool,
+                     out_offset: float = 0.0):
     """Volume layout (N, D, W): one (K, D, W) slab per sequential grid
     step, rows iterated in scan order inside the kernel (K-row slabs cut
     the sequential grid from N steps to N/K — per-step pipeline overhead
@@ -249,13 +250,16 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
             out = out + Ldr + Ldl
         if accumulate:
             out = out + a_ref[jj].astype(jnp.float32)
+        if out_offset:
+            out = out + out_offset
         out_ref[jj] = out.astype(out_ref.dtype)
 
 
 def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             reverse: bool, with_diag: bool,
                             out_dtype=None, acc: jnp.ndarray = None,
-                            rows_per_step: int = 4) -> jnp.ndarray:
+                            rows_per_step: int = 4,
+                            out_offset: float = 0.0) -> jnp.ndarray:
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
@@ -277,7 +281,8 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
 
     kernel = functools.partial(_dir_pass_kernel, P1=float(P1), P2=float(P2),
                                with_diag=with_diag, accumulate=acc is not None,
-                               D=D, K=K, reverse=reverse)
+                               D=D, K=K, reverse=reverse,
+                               out_offset=out_offset)
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
         scratch += [pltpu.VMEM((D, W), jnp.float32),
@@ -357,12 +362,32 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     if fused_wta and params.num_paths >= 4:
         with_diag = params.num_paths == 8
         Ct = jnp.transpose(C, (2, 1, 0))
+        hf = directional_pass_pallas(Ct, P1, P2, False, False)
         S_h = jnp.transpose(
-            directional_pass_pallas(Ct, P1, P2, False, False)
-            + directional_pass_pallas(Ct, P1, P2, True, False), (2, 1, 0))
-        S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
-        disp = up_wta_pallas(C, S_down, S_h, params, apply_lr=apply_lr,
-                             with_diag=with_diag)
+            directional_pass_pallas(Ct, P1, P2, True, False, acc=hf),
+            (2, 1, 0))
+        # max possible down(+diag)+horizontal sum: (n_down + 2 horizontal)
+        # paths, each bounded by boxed-BT max (25 * 4 * cap) + P2
+        cmax = (params.block_size ** 2) * 4 * cap
+        max_sum = ((3 if with_diag else 1) + 2) * (cmax + float(P2))
+        if (jnp.dtype(volume_dtype).itemsize >= 4 or max_sum < 32000):
+            bias = 0.0
+        elif max_sum < 65000:
+            bias = float(int(max_sum) // 2)
+        else:
+            bias = None
+        if bias is not None:
+            # down pass accumulates S_h in-kernel, bias-shifted to fit
+            # int16 (exact integer shift); the fused up+WTA kernel reads
+            # just two volumes and un-shifts
+            S_dh = directional_pass_pallas(C, P1, P2, False, with_diag,
+                                           acc=S_h, out_offset=-bias)
+            disp = up_wta_pallas(C, S_dh, None, params, apply_lr=apply_lr,
+                                 with_diag=with_diag, sd_offset=bias)
+        else:
+            S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
+            disp = up_wta_pallas(C, S_down, S_h, params,
+                                 apply_lr=apply_lr, with_diag=with_diag)
         valid = disp >= 0
     else:
         S = aggregate_paths_pallas_hdw(C, P1, P2, params.num_paths)
@@ -491,14 +516,21 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
                            quantize_16=quantize_16, disp12=disp12)
 
 
-def _up_wta_kernel(c_ref, sd_ref, sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
-                   *, P1: float, P2: float, with_diag: bool, D: int, K: int,
-                   min_disp: int, uniq: int, quantize_16: bool, disp12: int):
+def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
+                   with_diag: bool, D: int, K: int, min_disp: int,
+                   uniq: int, quantize_16: bool, disp12: int,
+                   sd_offset: float = 0.0):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
     each row's L_up (+diagonals) is summed with the S_down and S_h slabs
     in VMEM and the slab goes straight into the WTA body, saving one
-    full volume write + read (~0.6 ms at 720p/128)."""
+    full volume write + read (~0.6 ms at 720p/128). ``sd_ref`` may carry
+    the down+horizontal sum (3-input form passes S_h separately)."""
+    if len(refs) == 5:
+        sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref = refs
+    else:
+        sh_ref = None
+        out_ref, lv_ref, ldr_ref, ldl_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -535,8 +567,9 @@ def _up_wta_kernel(c_ref, sd_ref, sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
             ldr_ref[:] = Ldr
             ldl_ref[:] = Ldl
             up = up + Ldr + Ldl
-        S_row = (up + sd_ref[jj].astype(jnp.float32)
-                 + sh_ref[jj].astype(jnp.float32))
+        S_row = up + (sd_ref[jj].astype(jnp.float32) + sd_offset)
+        if sh_ref is not None:
+            S_row = S_row + sh_ref[jj].astype(jnp.float32)
         rows.append((jj, S_row))
 
     S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
@@ -544,13 +577,18 @@ def _up_wta_kernel(c_ref, sd_ref, sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref,
                            quantize_16=quantize_16, disp12=disp12)
 
 
-def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray, S_h: jnp.ndarray,
-                  params: SGBMParams, rows_per_step: int = 8,
-                  apply_lr: bool = True, with_diag: bool = True
-                  ) -> jnp.ndarray:
-    """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the two partial
+def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
+                  S_h: jnp.ndarray = None,
+                  params: SGBMParams = SGBMParams(), rows_per_step: int = 8,
+                  apply_lr: bool = True, with_diag: bool = True,
+                  sd_offset: float = 0.0) -> jnp.ndarray:
+    """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the partial
     path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible
-    with directional_pass_pallas(reverse=True) + wta_lr_pallas."""
+    with directional_pass_pallas(reverse=True) + wta_lr_pallas. ``S_h``
+    may be None when S_down already accumulates the horizontal sum;
+    ``sd_offset`` undoes the bias shift applied when storing the
+    accumulated down+horizontal volume in int16 (its range ~[0, 43500]
+    exceeds int16 max; a -range/2 shift recenters it exactly)."""
     H, D, W = C.shape
     K = rows_per_step
     while H % K:
@@ -563,7 +601,8 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray, S_h: jnp.ndarray,
         _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
-        disp12=params.disp12_max_diff if apply_lr else -1)
+        disp12=params.disp12_max_diff if apply_lr else -1,
+        sd_offset=sd_offset)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
@@ -573,18 +612,19 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray, S_h: jnp.ndarray,
         scratch += [pltpu.VMEM((8, 128), jnp.float32),
                     pltpu.VMEM((8, 128), jnp.float32)]
 
+    ins = [C, S_down] if S_h is None else [C, S_down, S_h]
     spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(H // K,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec] * len(ins),
         out_specs=pl.BlockSpec((K, W), lambda i: (H // K - 1 - i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(C, S_down, S_h)
+    )(*ins)
 
 
 def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
