@@ -18,7 +18,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["turbo_colormap", "DisparityVis", "DepthVis", "overlay_heat"]
+__all__ = ["turbo_colormap", "DisparityVis", "DepthVis", "overlay_heat",
+           "draw_epipolar_lines"]
 
 
 def _turbo_lut() -> np.ndarray:
@@ -135,3 +136,17 @@ def overlay_heat(image_gray: np.ndarray, disp_vis: np.ndarray,
         heat = heat[np.ix_(ys, xs)]
     out = w_img * img + w_heat * heat
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def draw_epipolar_lines(image: np.ndarray, spacing: int = 30,
+                        color=(0, 255, 0)) -> np.ndarray:
+    """Horizontal epipolar guide lines every ``spacing`` px — the
+    rectification sanity overlay (StereoRectifier::drawEpipolarLines,
+    stereo_rectifier.cpp:44-51: green lines every 30 px). Returns an RGB
+    copy."""
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    out = img.astype(np.uint8).copy()
+    out[::spacing, :, :] = np.asarray(color, np.uint8)
+    return out

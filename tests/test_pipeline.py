@@ -149,3 +149,40 @@ def test_batched_pipeline(rig, pair):
     np.testing.assert_array_equal(d[0], d[1])
     one = np.asarray(pipe.process_pair(left, right)["disparity"])
     np.testing.assert_allclose(d[0], one, atol=1e-5)
+
+
+def test_capture_utils(tmp_path, small_rig, small_pair):
+    """utils/capture: split, change_filename, image_disparity (helper.cpp
+    equivalents)."""
+    import numpy as np
+    from stereo_depth_ruler_tpu.utils import capture
+    from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams
+
+    left, right, gt = small_pair
+    sbs = np.concatenate([left, right], axis=1)
+    l2, r2 = capture.split_sbs(sbs)
+    np.testing.assert_array_equal(l2, left)
+
+    src = tmp_path / "flat"
+    src.mkdir()
+    for i in range(4):
+        (src / f"img_{i:02d}.txt").write_text(str(i))
+    nl, nr = capture.change_filename(str(src), str(tmp_path / "L"),
+                                    str(tmp_path / "R"), n_left=2)
+    assert (nl, nr) == (2, 2)
+
+    disp = capture.image_disparity(
+        sbs, rig=small_rig, rectify=False,
+        params=SGBMParams(num_disparities=32, speckle_window_size=0))
+    v = disp[:, 32:] >= 0
+    assert v.mean() > 0.5
+
+
+def test_epipolar_overlay():
+    import numpy as np
+    from stereo_depth_ruler_tpu.viz import draw_epipolar_lines
+    img = np.zeros((64, 32), np.uint8)
+    out = draw_epipolar_lines(img, spacing=16)
+    assert out.shape == (64, 32, 3)
+    assert (out[0] == [0, 255, 0]).all() and (out[16] == [0, 255, 0]).all()
+    assert (out[1] == 0).all()
