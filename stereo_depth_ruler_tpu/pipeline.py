@@ -59,6 +59,7 @@ class PipelineConfig:
     quirk_compat: bool = False    # replicate full-res-Q-on-half-res-disp
     handle_missing: bool = False
     z_max_mm: float = 12000.0
+    matcher: str = "auto"         # "auto" | "pallas" | "jnp"
 
 
 class StereoPipeline:
@@ -71,12 +72,25 @@ class StereoPipeline:
         self.config = config
         self.rectify = rectify
         self._aggregator = aggregator
+        self._matcher = self._pick_matcher()
         if rectify:
             self.grid_l, self.grid_r = build_remap_grids(rig)
         else:
             self.grid_l = self.grid_r = None
         self._forward = jax.jit(self._build_forward())
         self._forward_batch = jax.jit(jax.vmap(self._build_forward()))
+
+    def _pick_matcher(self):
+        """jnp scan matcher on CPU; the fused Pallas kernel pipeline on
+        TPU (bit-identical — tested in tests/test_sgbm_pallas.py)."""
+        cfg = self.config
+        if self._aggregator is not None or cfg.matcher == "jnp":
+            return partial(sgbm, aggregator=self._aggregator)
+        if cfg.matcher == "pallas" or (cfg.matcher == "auto"
+                                       and jax.default_backend() != "cpu"):
+            from .ops.sgbm_pallas import sgbm_pallas
+            return sgbm_pallas
+        return sgbm
 
     # -- stage functions ---------------------------------------------------
     def _build_forward(self):
@@ -98,16 +112,15 @@ class StereoPipeline:
                 left = downscale2x(left)
                 right = downscale2x(right)
 
+            matcher = self._matcher
             if cfg.use_wls and cfg.lr_mode == "right_matcher":
-                disp_l = sgbm(left, right, cfg.sgbm,
-                              aggregator=self._aggregator)
-                disp_r = sgbm(right[:, ::-1], left[:, ::-1], cfg.sgbm,
-                              aggregator=self._aggregator)[:, ::-1]
+                disp_l = matcher(left, right, cfg.sgbm)
+                disp_r = matcher(right[:, ::-1], left[:, ::-1],
+                                 cfg.sgbm)[:, ::-1]
                 disp, conf = wls_disparity_filter(disp_l, disp_r, left)
             else:
-                disp = sgbm(left, right, cfg.sgbm,
-                            apply_lr=cfg.lr_mode != "none",
-                            aggregator=self._aggregator)
+                disp = matcher(left, right, cfg.sgbm,
+                               apply_lr=cfg.lr_mode != "none")
                 conf = (disp >= 0).astype(jnp.float32)
 
             xyz = reproject_to_3d(disp, rig.Q, scale=scale,
