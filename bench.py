@@ -37,11 +37,14 @@ def make_inputs(batch=BATCH):
     return rig, np.stack(lefts), np.stack(rights)
 
 
-def bench_opencv(lefts, rights, frames=6, trials=3):
+def bench_opencv(lefts, rights, frames=30, trials=5):
     """Reference-parameter cv2.StereoSGBM at the headline config
     (numDisparities=128; other params as stereo_disparity.cpp:5-9).
-    Takes the best of ``trials`` runs (the CPU number is noisy on the
-    2-vCPU host; the fastest trial is the fairest baseline)."""
+
+    Pinned methodology (round-1 review: best-of-3 over 2 frames wobbled
+    ±45%): >=30 frames per trial, median of >=5 trials, spread logged.
+    cv2 threading is left at its default (the reference runs OpenCV's own
+    thread pool, SURVEY.md §2.10)."""
     import cv2
     matcher = cv2.StereoSGBM_create(
         minDisparity=0, numDisparities=D, blockSize=5,
@@ -49,13 +52,17 @@ def bench_opencv(lefts, rights, frames=6, trials=3):
         uniquenessRatio=12, speckleWindowSize=200, speckleRange=2,
         mode=cv2.STEREO_SGBM_MODE_SGBM_3WAY)
     matcher.compute(lefts[0], rights[0])  # warm
-    best = 0.0
+    fps = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for n in range(frames):
             matcher.compute(lefts[n % len(lefts)], rights[n % len(rights)])
-        best = max(best, frames / (time.perf_counter() - t0))
-    return best
+        fps.append(frames / (time.perf_counter() - t0))
+    fps.sort()
+    med = fps[len(fps) // 2]
+    log(f"OpenCV trials fps: {['%.2f' % f for f in fps]} "
+        f"median {med:.2f} spread {(fps[-1] - fps[0]) / med * 100:.0f}%")
+    return med
 
 
 def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
@@ -115,7 +122,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--cv-frames", type=int, default=2)
+    ap.add_argument("--cv-frames", type=int, default=30)
     args = ap.parse_args()
 
     rig, lefts, rights = make_inputs()

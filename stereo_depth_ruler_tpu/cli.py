@@ -104,9 +104,13 @@ def cmd_measure(args) -> int:
                          use_wls=not args.no_wls)
     pipe = StereoPipeline(rig, cfg, rectify=not args.no_rectify)
     src = VideoSource(args.video)
+    out = None
     for i, (left, right) in enumerate(src.frames(start=args.frame)):
         out = pipe.process_pair(left, right)
         break
+    if out is None:
+        print(f"no frame {args.frame} in {args.video}", file=sys.stderr)
+        return 1
     xyz = np.asarray(out["xyz"])
     sess = MeasurementSession(args.csv)
     for pair in args.points:

@@ -42,6 +42,8 @@ class CloudConfig:
     z_clip_mm: float = 10000.0       # drop points at/behind missing-Z fill
     reference_mode: bool = True      # raw full-res SGBM like pcd_write.cpp
     binary: bool = True
+    organized: bool = False          # write the pre-voxel organized cloud
+    matcher: str = "auto"            # "auto" | "pallas" | "jnp"
 
 
 class PointCloudGenerator:
@@ -51,8 +53,18 @@ class PointCloudGenerator:
                  matcher=None):
         self.rig = rig
         self.config = config
-        self._matcher = matcher or sgbm
+        self._matcher = matcher or self._pick_matcher(config.matcher)
         self._compute = jax.jit(self._build())
+
+    @staticmethod
+    def _pick_matcher(which: str):
+        """Fused Pallas matcher on TPU, jnp scan matcher on CPU —
+        mirrors StereoPipeline._pick_matcher (bit-identical paths)."""
+        if which == "pallas" or (which == "auto"
+                                 and jax.default_backend() != "cpu"):
+            from .ops.sgbm_pallas import sgbm_pallas
+            return sgbm_pallas
+        return sgbm
 
     def _build(self):
         cfg = self.config
@@ -69,7 +81,7 @@ class PointCloudGenerator:
                     & (pts[:, 2] > 0) & (pts[:, 2] < cfg.z_clip_mm))
             pts = jnp.where(keep[:, None], pts, jnp.nan)
             vpts, vcols, count = voxel_downsample(pts, cols, cfg.leaf)
-            return disp, vpts, vcols, count
+            return disp, vpts, vcols, count, pts
 
         return compute
 
@@ -83,18 +95,26 @@ class PointCloudGenerator:
             left_color = np.repeat(np.asarray(left)[..., None], 3, axis=2)
         # BGR -> RGB for PCD packing
         rgb = np.ascontiguousarray(np.asarray(left_color)[..., ::-1])
-        disp, vpts, vcols, count = self._compute(
+        disp, vpts, vcols, count, opts = self._compute(
             jnp.stack([jnp.asarray(left, jnp.float32),
                        jnp.asarray(right, jnp.float32)]),
             jnp.asarray(rgb, jnp.float32))
         count = int(count)
-        return {
+        out = {
             "disparity": np.asarray(disp),
             "points": np.asarray(vpts)[:count],
             "colors": np.clip(np.asarray(vcols)[:count], 0, 255
                               ).astype(np.uint8),
             "count": count,
         }
+        if self.config.organized:
+            # pre-voxel organized cloud (convertCVMatToPCL parity:
+            # width x height, invalid -> NaN, pcd_write.cpp:17-51)
+            out["organized_points"] = np.asarray(opts)
+            out["organized_colors"] = np.clip(
+                rgb.reshape(-1, 3), 0, 255).astype(np.uint8)
+            out["organized_shape"] = disp.shape
+        return out
 
     def write_frame(self, out_dir, frame_index: int, left, right,
                     left_color=None) -> Path:
@@ -104,8 +124,13 @@ class PointCloudGenerator:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"frame_{frame_index:05d}.pcd"
-        write_pcd(path, out["points"], out["colors"],
-                  binary=self.config.binary)
+        if self.config.organized:
+            write_pcd(path, out["organized_points"],
+                      out["organized_colors"], binary=self.config.binary,
+                      organized_shape=out["organized_shape"])
+        else:
+            write_pcd(path, out["points"], out["colors"],
+                      binary=self.config.binary)
         return path
 
     def process_sbs_video(self, frames: np.ndarray, out_dir,

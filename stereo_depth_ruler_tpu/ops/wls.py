@@ -13,14 +13,17 @@ tridiagonal systems along rows then columns:
     (I + λ_t A_w) u = f ,   λ_t = 1.5 λ 4^{T-t-1} / (4^T − 1)
 
 with Laplacian weights w(p,q) = exp(−|I_p − I_q| / σ). The tridiagonal
-solve is *exact* and O(log N) depth on TPU: the Thomas forward elimination
-is a linear-fractional recurrence lifted to homogeneous 3-vectors
-(u, v, w) — so cumulative 3x3 matrix products under
-`lax.associative_scan` (normalized each combine; the final u/w, v/w
-division cancels the scale) — and the back substitution is an affine
-recurrence scanned in reverse. All rows/columns solve in parallel: the TPU
-sees (H, W)-shaped elementwise ops and log₂N scan levels instead of W
-sequential steps.
+solve is **parallel cyclic reduction** (PCR): ⌈log₂N⌉ rounds, each
+eliminating the ±s off-diagonals with pure elementwise ops on shifted
+(H, W) arrays, after which every unknown is decoupled (u = d/b). PCR is
+numerically stable for the diagonally dominant FGS systems (b − |a| − |c|
+= 1 by construction, preserved by each reduction round) — unlike a
+normalized associative-scan Thomas lift, which loses O(1) accuracy at
+weight discontinuities (w spanning 1e-11…1 makes the cumulative
+linear-fractional products degenerate in f32). All rows/columns solve in
+parallel: the TPU sees (H, W)-shaped elementwise ops and log₂N rounds
+instead of W sequential steps, with one iterative-refinement step to
+polish f32 residuals.
 
 Confidence-weighted filtering uses the homogeneous trick:
 u = FGS(c·f) / FGS(c) with c = 1 on LR-consistent pixels, 0 elsewhere —
@@ -39,28 +42,12 @@ import jax.numpy as jnp
 __all__ = ["tridiag_solve", "fgs_filter", "wls_disparity_filter"]
 
 
-def _mobius_combine(ea, eb):
-    """Compose homogeneous Thomas-elimination steps (3x3 matmul, normalized).
-
-    With associative_scan convention combine(prefix, next) — eb is applied
-    after ea: P = M_b @ M_a.
-    """
-    out = jnp.einsum("...ij,...jk->...ik", eb, ea)
-    norm = jnp.max(jnp.abs(out), axis=(-2, -1), keepdims=True)
-    return out / jnp.maximum(norm, 1e-30)
-
-
-def _affine_combine_rev(ea, eb):
-    """Compose affine back-substitution elements for a reverse scan.
-
-    Element i encodes u_i = α_i·u_{i+1} + β_i. In a reversed
-    associative_scan, combine(a, b) receives a = element closer to the end
-    of the array having already absorbed its suffix; result encodes
-    u_i(before b) in terms of the suffix: u_b = α_b·(suffix a) + β_b.
-    """
-    aa, ba = ea
-    ab, bb = eb
-    return aa * ab, ab * ba + bb
+def _shift_last(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """x[..., i-s] for s>0 / x[..., i+|s|] for s<0, out-of-range = fill."""
+    pad = jnp.full(x.shape[:-1] + (abs(s),), fill, x.dtype)
+    if s > 0:
+        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+    return jnp.concatenate([x[..., -s:], pad], axis=-1)
 
 
 def tridiag_solve(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
@@ -68,56 +55,43 @@ def tridiag_solve(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
     """Solve tridiagonal systems along the last axis, batched.
 
     a: sub-diagonal (a[..., 0] ignored/0), b: diagonal, c: super-diagonal
-    (c[..., -1] ignored/0), d: RHS. Exact Thomas algorithm evaluated with
-    O(log N) associative scans (see module docstring). Requires diagonally
-    dominant systems (true for the FGS matrices by construction).
-
-    The systems are Jacobi-preconditioned (rows scaled by 1/diag) so the
-    scan matrices stay O(1), and ``refine`` steps of iterative refinement
-    recover the f32 bits the log-depth product loses at large λ.
+    (c[..., -1] ignored/0), d: RHS. Parallel cyclic reduction — ⌈log₂N⌉
+    elementwise rounds (see module docstring). Requires diagonal
+    dominance (true for the FGS matrices by construction); ``refine``
+    iterative-refinement steps polish the f32 residual.
     """
-    inv_b = 1.0 / b
-    a_s, c_s, d_s = a * inv_b, c * inv_b, d * inv_b
-    u = _tridiag_solve_scan(a_s, jnp.ones_like(b), c_s, d_s)
+    a = jnp.asarray(a).at[..., 0].set(0.0)
+    c = jnp.asarray(c).at[..., -1].set(0.0)
+    b = jnp.asarray(b)
+    d = jnp.asarray(d)
+    u = _tridiag_solve_pcr(a, b, c, d)
     for _ in range(refine):
         # residual of the original system: r = d - (a·u₋ + b·u + c·u₊)
-        u_m = jnp.concatenate([jnp.zeros_like(u[..., :1]), u[..., :-1]],
-                              axis=-1)
-        u_p = jnp.concatenate([u[..., 1:], jnp.zeros_like(u[..., :1])],
-                              axis=-1)
+        u_m = _shift_last(u, 1, 0.0)
+        u_p = _shift_last(u, -1, 0.0)
         r = d - (a * u_m + b * u + c * u_p)
-        e = _tridiag_solve_scan(a_s, jnp.ones_like(b), c_s, r * inv_b)
-        u = u + e
+        u = u + _tridiag_solve_pcr(a, b, c, r)
     return u
 
 
-def _tridiag_solve_scan(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
-                        d: jnp.ndarray) -> jnp.ndarray:
-    shape = a.shape
-    N = shape[-1]
-    z = jnp.zeros_like(a)
-    # M_i = [[0,0,c_i],[0,-a_i,d_i],[-a_i,0,b_i]]
-    M = jnp.stack([
-        jnp.stack([z, z, c], axis=-1),
-        jnp.stack([z, -a, d], axis=-1),
-        jnp.stack([-a, z, b], axis=-1),
-    ], axis=-2)                                    # (..., N, 3, 3)
-    P = jax.lax.associative_scan(_mobius_combine, M, axis=M.ndim - 3)
-    # apply to initial state (0, 0, 1): picks column 2
-    u = P[..., 0, 2]
-    v = P[..., 1, 2]
-    w = P[..., 2, 2]
-    wsafe = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
-    cp = u / wsafe                                 # c'_i
-    dp = v / wsafe                                 # d'_i
-    # back substitution: u_i = d'_i - c'_i u_{i+1}; last: u = d'
-    alpha = -cp
-    beta = dp
-    alpha = alpha.at[..., -1].set(0.0)
-    A, B = jax.lax.associative_scan(
-        _affine_combine_rev, (alpha, beta), axis=alpha.ndim - 1,
-        reverse=True)
-    return B
+def _tridiag_solve_pcr(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray,
+                       d: jnp.ndarray) -> jnp.ndarray:
+    """Parallel cyclic reduction. Each round eliminates the couplings at
+    distance s by combining row i with rows i±s; after ⌈log₂N⌉ rounds the
+    remaining system is diagonal."""
+    N = a.shape[-1]
+    s = 1
+    while s < N:
+        bm = _shift_last(b, s, 1.0)
+        bp = _shift_last(b, -s, 1.0)
+        alpha = -a / bm                       # row i  -= α · row (i-s)
+        gamma = -c / bp                       # row i  -= γ · row (i+s)
+        b = b + alpha * _shift_last(c, s, 0.0) + gamma * _shift_last(a, -s, 0.0)
+        d = d + alpha * _shift_last(d, s, 0.0) + gamma * _shift_last(d, -s, 0.0)
+        a = alpha * _shift_last(a, s, 0.0)
+        c = gamma * _shift_last(c, -s, 0.0)
+        s *= 2
+    return d / b
 
 
 def _fgs_pass_lastaxis(u: jnp.ndarray, guide: jnp.ndarray,
