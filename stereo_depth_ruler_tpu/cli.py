@@ -38,12 +38,15 @@ def _sgbm_params(args):
 
 
 def cmd_run(args) -> int:
-    from .io.video import FrameCursor, VideoSource
+    from .io.video import FrameCursor, VideoSource, host_batches
     from .measure import depth_coverage
     from .metrics import MetricsLog, frame_metrics
+    from .parallel.mesh import initialize_distributed
     from .pipeline import PipelineConfig, StereoPipeline
     from .viz import DepthVis, DisparityVis, overlay_heat
 
+    # multi-host runtime bootstrap (no-op single-process; SURVEY §2.10)
+    initialize_distributed()
     rig = _load_rig(args)
     cfg = PipelineConfig(sgbm=_sgbm_params(args), downscale=args.downscale,
                          use_wls=not args.no_wls,
@@ -65,8 +68,16 @@ def cmd_run(args) -> int:
         dvis = DisparityVis(cfg.sgbm.num_disparities)
 
     import time
+    import jax
     n_done = 0
-    for idxs, lefts, rights in src.batches(args.batch, cursor=cursor):
+    if jax.process_count() > 1:
+        # per-host video segments (SURVEY §2.10 'Host I/O sharding'):
+        # each host decodes and processes only its own slice; metrics
+        # and overlays are per-host files
+        batches = host_batches(src, args.batch, cursor=cursor)
+    else:
+        batches = src.batches(args.batch, cursor=cursor)
+    for idxs, lefts, rights in batches:
         t0 = time.perf_counter()
         out = pipe.process_batch(lefts, rights)
         disp = np.asarray(out["disparity"])

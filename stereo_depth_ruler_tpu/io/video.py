@@ -24,7 +24,7 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 __all__ = ["VideoSource", "SbsVideoWriter", "read_sbsv", "write_sbsv",
-           "FrameCursor"]
+           "FrameCursor", "host_segment", "host_batches"]
 
 _SBSV_MAGIC = b"SBSV0001"
 
@@ -164,6 +164,55 @@ class VideoSource:
             yield (np.array(idxs), np.stack(buf_l), np.stack(buf_r))
             if cursor is not None:
                 cursor.next_frame = i
+
+
+def host_segment(n_frames: int, process_index: int, process_count: int,
+                 batch: int = 1) -> Tuple[int, int]:
+    """Per-host video-segment assignment (SURVEY.md §2.10 'Host I/O
+    sharding': each host decodes only its own contiguous slice).
+
+    Returns [start, stop) for this host. Segments are contiguous (good
+    for sequential decoders) and rounded so every host's length is a
+    multiple of ``batch`` except possibly the last host's.
+    """
+    per = -(-n_frames // process_count)            # ceil
+    per = -(-per // batch) * batch                 # round up to batch
+    start = min(process_index * per, n_frames)
+    stop = min(start + per, n_frames)
+    return start, stop
+
+
+def host_batches(source, batch_size: int, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None,
+                 cursor: Optional[FrameCursor] = None) -> Iterator:
+    """Batches over only this host's segment of ``source``.
+
+    process_index/count default to jax.process_index()/process_count()
+    when jax is importable (multi-host runtime); the cursor, if given, is
+    interpreted host-locally (each host checkpoints its own cursor file).
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    src = source if isinstance(source, VideoSource) else VideoSource(source)
+    start, stop = host_segment(len(src), process_index, process_count,
+                               batch=batch_size)
+    if cursor is not None and cursor.next_frame > start:
+        start = cursor.next_frame
+    n_left = stop - start
+    if n_left <= 0:
+        return
+    done = 0
+    for idxs, lefts, rights in src.batches(batch_size, start=start):
+        keep = (idxs >= 0) & (idxs < stop)
+        idxs = np.where(keep, idxs, -1)
+        yield idxs, lefts, rights
+        done += int(keep.sum())
+        if cursor is not None:
+            cursor.next_frame = start + done
+        if start + done >= stop:
+            return
 
 
 class SbsVideoWriter:

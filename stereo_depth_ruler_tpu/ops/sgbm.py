@@ -196,28 +196,43 @@ def wta(S: jnp.ndarray, params: SGBMParams
     return disp.astype(jnp.float32), valid
 
 
+def _winner_scatter_disp2(s0i: jnp.ndarray, d_star: jnp.ndarray,
+                          D: int, min_disp: int) -> jnp.ndarray:
+    """disp2 from per-column WTA winners (OpenCV stereosgbm.cpp): winner
+    (s0, d*) of column x lands at x_r = x − d* − minD; collisions keep
+    the lower cost, ties the smaller d (= OpenCV's ascending-x strict-<
+    first-writer). Realized as D masked left-shifts of an int32
+    (cost, d)-packed map — no scatter, no volume traffic.
+
+    s0i: (H, W) int32 exact winner costs; d_star: (H, W) int32 argmin.
+    Returns (H, W) float32 disp2 (−1 where no winner landed)."""
+    H, W = s0i.shape
+    md = min_disp
+    PK = 1 << int(D + md).bit_length()
+    BIGP = jnp.int32(2 ** 30)
+    packed = s0i * PK + d_star + md
+    disp2p = jnp.full((H, W), BIGP, jnp.int32)
+    for d in range(D):
+        s = d + md
+        cand = jnp.pad(packed[:, s:], ((0, 0), (0, s)),
+                       constant_values=2 ** 30) if s else packed
+        okm = (cand & (PK - 1)) == s
+        disp2p = jnp.minimum(disp2p, jnp.where(okm, cand, BIGP))
+    return jnp.where(disp2p < BIGP,
+                     (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
+
+
 def lr_check(S: jnp.ndarray, disp: jnp.ndarray, valid: jnp.ndarray,
              params: SGBMParams) -> jnp.ndarray:
-    """Consistency check against the right-view WTA derived from the same
-    aggregated volume: disp2(x_r) = argmin_d S(y, x_r + d, d) (OpenCV's
-    internal disp2). Matches lr_check_np."""
+    """Consistency check against the right-view disparity built from the
+    per-column WTA winners of the same aggregated volume (OpenCV's
+    internal winner-scatter disp2). Matches lr_check_np."""
     if params.disp12_max_diff < 0:
         return valid
     H, W, D = S.shape
-    # disp2(y, x_r) = argmin_d S(y, x_r + d, d). Expressed as D static
-    # left-shifts of the S[..., d] planes (a full-volume take_along_axis
-    # gather is ~2s on TPU; these shifts are pure VPU slices, ~1ms).
-    cost2 = jnp.full((H, W), _BIG, jnp.float32)
-    disp2 = jnp.full((H, W), -1.0, jnp.float32)
-    for d in range(D):
-        shift = d + params.min_disparity
-        plane = S[:, shift:, d] if shift else S[:, :, d]
-        if shift:
-            plane = jnp.pad(plane, ((0, 0), (0, shift)),
-                            constant_values=_BIG)
-        better = plane < cost2
-        cost2 = jnp.where(better, plane, cost2)
-        disp2 = jnp.where(better, float(shift), disp2)
+    d_star = jnp.argmin(S, axis=-1).astype(jnp.int32)
+    s0i = jnp.min(S, axis=-1).astype(jnp.int32)    # exact small ints
+    disp2 = _winner_scatter_disp2(s0i, d_star, D, params.min_disparity)
 
     xr = (jnp.arange(W)[None, :]
           - jnp.round(disp).astype(jnp.int32)).astype(jnp.int32)

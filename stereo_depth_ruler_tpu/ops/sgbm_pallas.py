@@ -46,7 +46,8 @@ from .sgbm import SGBMParams, _bt_minmax, lr_check, sobel_clip, speckle_filter, 
 
 __all__ = ["build_cost_volume_pallas", "directional_pass_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
-           "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas"]
+           "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas",
+           "sgbm_tile_pallas"]
 
 _BIG = 1e9
 _BIGI = 2 ** 28   # "infinity" for int32 DP (headroom: + P2 stays < 2^31)
@@ -83,7 +84,7 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
     zero = jnp.float32(0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
 
-    def one_d(d_out, rt, rmin, rmax):
+    def one_d(rt, rmin, rmax):
         # inputs arrive pre-doubled (2*img, minmax of 2*img), so
         # min(c_lr, c_rl) here equals the spec's 2*min on original values
         c_lr = jnp.maximum(zero, jnp.maximum(lt - rmax, rmin - lt))
@@ -104,7 +105,7 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
             sh_r = jnp.where(xio >= W - dx, right_edge,
                              pltpu.roll(cv, W - dx, 1))
             acc = acc + sh_l + sh_r
-        out_ref[pl.ds(d_out, 1)] = acc[None].astype(out_dtype)
+        return acc
 
     def sh1(a):   # x-d-1 sampling: shift right, replicate left edge
         return jnp.concatenate([a[:, :1], a[:, :W - 1]], axis=1)
@@ -112,7 +113,8 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
     def body_group(g, carry):
         rt, rmin, rmax = carry
         for j in range(group):
-            one_d(g * group + j, rt, rmin, rmax)
+            out_ref[pl.ds(g * group + j, 1)] = \
+                one_d(rt, rmin, rmax)[None].astype(out_dtype)
             rt, rmin, rmax = sh1(rt), sh1(rmin), sh1(rmax)
         return rt, rmin, rmax
 
@@ -177,6 +179,10 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
                          block_size=params.block_size, out_dtype=out_dtype,
                          group=group)
 
+    # (D, blk, W) output blocks (leading-dim d stores — Mosaic rejects
+    # strided int16 stores on the sublane-adjacent dim, so the d-major
+    # layout is written here and permuted to (H, D, W) by the dedicated
+    # leading-dims transpose kernel, ~3x cheaper than XLA's transpose)
     C_dhw = pl.pallas_call(
         kernel3,
         grid=grid,
@@ -187,9 +193,86 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
-    # (D, H, W) -> (H, D, W): the directional kernels consume (N, D, W)
-    # slabs (leading-dim grid, last-two-dims tiling constraints)
+    # (D, H, W) -> (H, D, W): XLA's leading-dims transpose copy (a
+    # dedicated Pallas permute kernel measured the same 2.4 ms — both are
+    # DMA-bound at this block shape)
     return jnp.transpose(C_dhw, (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# volume transpose (A, D, B) -> (B, D, A) — XLU-based, beats XLA's copy
+# ---------------------------------------------------------------------------
+
+
+def _transpose_kernel(x_ref, o_ref, *, db: int):
+    x = x_ref[:]                                   # (A, db, b_blk)
+    o_ref[:] = jnp.stack([jnp.transpose(x[:, d, :], (1, 0))
+                          for d in range(db)], axis=1)
+
+
+def _transpose_leading_kernel(x_ref, o_ref):
+    o_ref[:] = jnp.transpose(x_ref[:], (1, 0, 2))
+
+
+def transpose_leading_pallas(x: jnp.ndarray, a_blk: int = 8,
+                             b_blk: int = 8) -> jnp.ndarray:
+    """(A, B, W) -> (B, A, W): permute the two leading (non-lane) dims.
+
+    Pure tile-address permutation — both sides DMA full-W contiguous
+    runs, so this runs near HBM speed (XLA's equivalent transpose copy
+    measured ~22% of bandwidth). Used to bring the cost kernel's d-major
+    output into the (H, D, W) scan layout."""
+    A, B, W = x.shape
+    while A % a_blk:
+        a_blk //= 2
+    while B % b_blk:
+        b_blk //= 2
+    return pl.pallas_call(
+        _transpose_leading_kernel,
+        grid=(A // a_blk, B // b_blk),
+        in_specs=[pl.BlockSpec((a_blk, b_blk, W), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b_blk, a_blk, W), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, A, W), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x)
+
+
+def transpose_vol_pallas(x: jnp.ndarray, b_blk: int = 128,
+                         d_blk: int = 8) -> jnp.ndarray:
+    """(A, D, B) -> (B, D, A) for the 0.24 GB cost/path volumes.
+
+    XLA's transpose of the int16 volume runs at ~22% of HBM bandwidth
+    (2.4 ms measured at 720p/128); this kernel reads (A, d_blk, b_blk)
+    blocks (256 B contiguous runs), transposes each d-plane on the XLU
+    (measured ~free vs. the DMA), and writes (b_blk, d_blk, A) blocks
+    (1.4 KB runs) — ~2x faster. Used for the W-major volume the
+    horizontal DP passes scan."""
+    A, D, B = x.shape
+    # Mosaic block constraint: last-two block dims divisible by (8, 128)
+    # or equal to the array dims — fall back to un-blocked axes when the
+    # extent has no 128-multiple divisor (e.g. H=720)
+    if B % 128:
+        b_blk = B
+    else:
+        while B % b_blk:
+            b_blk //= 2
+    while D % d_blk:
+        d_blk //= 2
+    kernel = functools.partial(_transpose_kernel, db=d_blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // b_blk, D // d_blk),
+        in_specs=[pl.BlockSpec((A, d_blk, b_blk), lambda i, j: (0, j, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b_blk, d_blk, A), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D, A), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x)
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +423,7 @@ def aggregate_paths_pallas(cost_hwd: jnp.ndarray, P1: float, P2: float,
 def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                 params: SGBMParams = SGBMParams(),
                 apply_lr: bool = True, apply_speckle: bool = True,
-                cost_blk: int = 48, fused_wta: bool = True,
+                cost_blk: int = 0, fused_wta: bool = True,
                 volume_dtype=jnp.int16) -> jnp.ndarray:
     """Full SGBM with Pallas cost-build + aggregation + WTA kernels.
 
@@ -353,6 +436,16 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     cap = params.pre_filter_cap
     lt = sobel_clip(left.astype(jnp.float32), cap)
     rt = sobel_clip(right.astype(jnp.float32), cap)
+    if not cost_blk:
+        # VMEM-aware row-block size: the cost kernel's (blk, D, W) output
+        # block is double-buffered; keep it within ~32 MB so the
+        # 2560x1440x256 sweep config compiles (1.89 GB volume in HBM,
+        # 21 MB blocks in VMEM at blk=16)
+        itemsize = jnp.dtype(volume_dtype).itemsize
+        cost_blk = 48
+        while (cost_blk > 8 and cost_blk * params.num_disparities
+               * left.shape[1] * itemsize > 32 * 1024 * 1024):
+            cost_blk //= 2
     # all cost/path values are small exact integers (C <= 6300,
     # L_r <= 8700, fused 3-path sums <= 26100), so int16 volumes halve
     # HBM traffic with zero numeric change (compute stays f32 in-kernel)
@@ -368,14 +461,7 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
             (2, 1, 0))
         # max possible down(+diag)+horizontal sum: (n_down + 2 horizontal)
         # paths, each bounded by boxed-BT max (25 * 4 * cap) + P2
-        cmax = (params.block_size ** 2) * 4 * cap
-        max_sum = ((3 if with_diag else 1) + 2) * (cmax + float(P2))
-        if (jnp.dtype(volume_dtype).itemsize >= 4 or max_sum < 32000):
-            bias = 0.0
-        elif max_sum < 65000:
-            bias = float(int(max_sum) // 2)
-        else:
-            bias = None
+        bias = _wta_bias(params, with_diag, volume_dtype)
         if bias is not None:
             # down pass accumulates S_h in-kernel, bias-shifted to fit
             # int16 (exact integer shift); the fused up+WTA kernel reads
@@ -401,6 +487,65 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                               params.speckle_window_size,
                                               params.speckle_range)
     return jnp.where(valid, disp, -1.0)
+
+
+def _wta_bias(params: SGBMParams, with_diag: bool, volume_dtype):
+    """Bias shift for storing the accumulated down+horizontal sum in
+    int16 (None -> must keep the 3-volume form)."""
+    cmax = (params.block_size ** 2) * 4 * params.pre_filter_cap
+    max_sum = ((3 if with_diag else 1) + 2) * (cmax + float(params.P2))
+    if jnp.dtype(volume_dtype).itemsize >= 4 or max_sum < 32000:
+        return 0.0
+    if max_sum < 65000:
+        return float(int(max_sum) // 2)
+    return None
+
+
+def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
+                     top_halo: int = 0, bottom_halo: int = 0,
+                     apply_lr: bool = True) -> jnp.ndarray:
+    """Pallas aggregation + fused WTA on a row slab of the cost volume —
+    the per-tile matcher for the shard_map scale-out path
+    (parallel/sharded.py): ``C`` is (top_halo + local + bottom_halo, D, W)
+    with halo rows already exchanged (or zero-masked at image borders —
+    zero cost rows are a fixed point of the DP update, so they reproduce
+    the fresh path-start state of the unsharded scan exactly).
+
+    Scan warm-starts: the down pass runs over all rows (top halo first);
+    the fused up+WTA pass runs bottom-up from the bottom halo. Horizontal
+    paths are row-local. Returns (local, W) float32 disparity (invalid
+    -1) for the tile's own rows. Same kernels/bit-behavior as
+    sgbm_pallas's fused path (tested in tests/test_parallel.py)."""
+    M, D, W = C.shape
+    assert params.num_paths in (4, 8), "pallas tile path needs >=4 paths"
+    with_diag = params.num_paths == 8
+    P1, P2 = params.P1, params.P2
+    local = M - top_halo - bottom_halo
+
+    # horizontal paths on the rows the outputs need (local + bottom halo;
+    # the top-halo rows' S_h is never read — their down-pass output is
+    # warmup only)
+    C_body = C[top_halo:]
+    Ct = jnp.transpose(C_body, (2, 1, 0))
+    hf = directional_pass_pallas(Ct, P1, P2, False, False)
+    S_h = jnp.transpose(
+        directional_pass_pallas(Ct, P1, P2, True, False, acc=hf),
+        (2, 1, 0))
+
+    bias = _wta_bias(params, with_diag, C.dtype)
+    if bias is None:
+        S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
+        disp_ext = up_wta_pallas(C_body, S_down[top_halo:], S_h, params,
+                                 apply_lr=apply_lr, with_diag=with_diag)
+    else:
+        acc = S_h if top_halo == 0 else jnp.concatenate(
+            [jnp.zeros((top_halo, D, W), S_h.dtype), S_h], axis=0)
+        S_dh = directional_pass_pallas(C, P1, P2, False, with_diag,
+                                       acc=acc, out_offset=-bias)
+        disp_ext = up_wta_pallas(C_body, S_dh[top_halo:], None, params,
+                                 apply_lr=apply_lr, with_diag=with_diag,
+                                 sd_offset=bias)
+    return disp_ext[:local]
 
 
 # ---------------------------------------------------------------------------
@@ -440,63 +585,42 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
 
     if disp12 >= 0:
-        # disp2(x_r) = argmin_d S(x_r + d + md, d). The staircase access
-        # S(x+d, d) is a shear of the (D, W) planes: realized in log2(D)
-        # whole-block rolls (row d rolls left by d via its bit
-        # decomposition) instead of D per-plane rolls — Mosaic-friendly
-        # and O(log) ops. Ties pack as S*PK + d so the min carries argmin
-        # with first-occurrence tie-break, matching jnp.argmin. For
-        # D <= 128 the pack stays f32 (exact: 8-path S*128 < 2^24); for
-        # larger D the pack switches to int32 (f32 would lose the d bits).
+        # OpenCV winner-scatter disp2 (stereosgbm.cpp, matches
+        # lr_check_np): column x's WTA winner (s0, d*) lands at
+        # x_r = x - d* - md, min-cost on collisions, min-d on ties (the
+        # int32 pack orders exactly that). Everything runs on (R, W)
+        # maps — ~30x less data than the old full-volume shear, which
+        # cost ~4 ms/frame at 720p/128 as in-VMEM volume passes.
         md = min_disp
-        PK = 1 << max(D - 1, 1).bit_length()
-        use_i32 = PK > 128
-        xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
-        if use_i32:
-            BIGP = jnp.int32(_BIGI)
-            packed = S.astype(jnp.int32) * PK + dio
-        else:
-            BIGP = jnp.float32(_BIG)
-            packed = S * float(PK) + dio.astype(jnp.float32)
-        if md:
-            packed = pltpu.roll(packed, W - (md % W), 2)
-        k = 1
-        while k < D:
-            rolled = pltpu.roll(packed, W - k, 2)
-            packed = jnp.where((dio & k) != 0, rolled, packed)
-            k *= 2
-        packed = jnp.where(xio3 + dio + md >= W, BIGP, packed)
-        m = jnp.min(packed, axis=1)                     # (R, W)
-        # disp2 sentinel values: -1 = no right match, -2 = x_r out of
-        # range (consistent by convention), >= BIGP/2 = masked
-        if use_i32:
-            disp2 = jnp.where(m < BIGP, (m & (PK - 1)) + md,
-                              -1).astype(jnp.float32)
-        else:
-            c2 = jnp.floor(m / float(PK))
-            disp2 = jnp.where(m < BIGP, m - c2 * PK + md, -1.0)
+        PK = 1 << int(D + md).bit_length()
+        BIGP = jnp.int32(2 ** 30)
+        s0i = s0.astype(jnp.int32)                  # exact small ints
+        packed = s0i * PK + d_star_i + md
 
-        # consistency at x_r = x - round(disp): shear disp2 the other way
-        # (row d holds disp2[x - (d+md)]), pick row rd - md per pixel.
-        rd = jnp.round(disp)
-        shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
-        if md:
-            shr = pltpu.roll(shr, md % W, 2)
-        k = 1
-        while k < D:
-            rolled = pltpu.roll(shr, k, 2)
-            shr = jnp.where((dio & k) != 0, rolled, shr)
-            k *= 2
-        shr = jnp.where(xio3 < dio + md, -2.0, shr)
-        rsel = rd - md
-        cand = jnp.min(jnp.where(
-            dio.astype(jnp.float32) == rsel[:, None, :], shr, _BIG),
-            axis=1)
-        sD = D + md
-        planeD = jnp.where(xio < sD, -2.0, pltpu.roll(disp2, sD % W, 1))
-        cand = jnp.where(rsel == float(D), planeD, cand)
+        def scatter_body(s, acc):
+            # the winner at lane x+s serves x_r = x when its offset == s
+            cand = pltpu.roll(packed, W - s, 1)
+            okm = ((cand & (PK - 1)) == s) & (xio < W - s)
+            return jnp.minimum(acc, jnp.where(okm, cand, BIGP))
+
+        disp2p = jax.lax.fori_loop(
+            md, D + md, scatter_body, jnp.full((R, W), BIGP, jnp.int32))
+        disp2 = jnp.where(disp2p < BIGP,
+                          (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
+
+        # consistency: cand(x) = disp2(x - round(disp)); out-of-range
+        # x_r (sentinel -2) passes, matching lr_check_np
+        rd = jnp.round(disp).astype(jnp.int32)
+
+        def gather_body(s, acc):
+            cand = pltpu.roll(disp2, s, 1)
+            okm = (rd == s) & (xio >= s)
+            return jnp.where(okm, cand, acc)
+
+        cand = jax.lax.fori_loop(
+            md, D + md, gather_body, jnp.full((R, W), -2.0, jnp.float32))
         ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
-              | (cand == -2.0) | (cand >= _BIG * 0.5))
+              | (cand == -2.0))
         valid = valid * jnp.where(ok, 1.0, 0.0)
 
     return jnp.where(valid > 0.0, disp, -1.0)

@@ -207,22 +207,28 @@ def wta_np(S: np.ndarray, params: SGBMParams
 
 def lr_check_np(S: np.ndarray, disp: np.ndarray, valid: np.ndarray,
                 params: SGBMParams) -> np.ndarray:
-    """Left-right consistency from the left aggregated costs (OpenCV's
-    internal disp2 approach): disp2(x_r) = argmin_d S(y, x_r + d, d);
-    invalidate when |d_l(x) − disp2(x − round(d_l))| > disp12MaxDiff."""
+    """Left-right consistency from the left aggregated costs — OpenCV's
+    internal disp2 construction (stereosgbm.cpp computeDisparitySGBM):
+    each column x scatters only its WTA winner (minS, bestD) to
+    x_r = x - bestD - minD, keeping the lower cost on collisions with
+    strict '<' (so the first writer — the smallest d for a given x_r —
+    wins ties); pixels invalidate when disp2 at x − round(d_l) is absent
+    or differs by more than disp12MaxDiff."""
     if params.disp12_max_diff < 0:
         return valid
     H, W, D = S.shape
+    md = params.min_disparity
     out = valid.copy()
     for y in range(H):
         disp2 = np.full(W, -1.0)
         cost2 = np.full(W, np.inf)
         for x in range(W):
-            for d in range(D):
-                xr = x - d - params.min_disparity
-                if 0 <= xr < W and S[y, x, d] < cost2[xr]:
-                    cost2[xr] = S[y, x, d]
-                    disp2[xr] = d + params.min_disparity
+            d = int(S[y, x].argmin())          # winner only (pre-validity)
+            s0 = S[y, x, d]
+            xr = x - d - md
+            if 0 <= xr < W and s0 < cost2[xr]:
+                cost2[xr] = s0
+                disp2[xr] = d + md
         for x in range(W):
             if not out[y, x]:
                 continue

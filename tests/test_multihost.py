@@ -1,0 +1,81 @@
+"""Multi-host scaffolding: per-host video segments, global-mesh helper,
+distributed bootstrap no-op path (SURVEY.md §2.10 'Host I/O sharding' /
+'Device mesh & runtime')."""
+
+import numpy as np
+import pytest
+
+from stereo_depth_ruler_tpu.io.video import (VideoSource, host_batches,
+                                             host_segment)
+from stereo_depth_ruler_tpu.parallel.mesh import (initialize_distributed,
+                                                  make_global_mesh)
+
+
+def test_host_segment_partition():
+    # segments cover [0, n) exactly once, in order, batch-aligned
+    for n, pc, batch in [(100, 4, 8), (7, 3, 2), (16, 2, 4), (5, 8, 4)]:
+        covered = []
+        for pi in range(pc):
+            s, e = host_segment(n, pi, pc, batch=batch)
+            assert 0 <= s <= e <= n
+            if e > s and e < n:
+                assert (e - s) % batch == 0
+            covered.extend(range(s, e))
+        assert covered == list(range(n)), (n, pc, batch)
+
+
+def test_host_batches_only_yields_own_segment():
+    n, h, w = 11, 8, 12
+    frames = (np.arange(n)[:, None, None]
+              * np.ones((h, 2 * w))).astype(np.uint8)
+    seen = []
+    for pi in range(3):
+        src = VideoSource(frames, gray=False)
+        for idxs, lefts, rights in host_batches(
+                src, 2, process_index=pi, process_count=3):
+            for k, fi in enumerate(idxs):
+                if fi < 0:
+                    continue
+                assert lefts[k].shape == (h, w)
+                assert float(lefts[k][0, 0]) == float(fi)
+                seen.append(int(fi))
+    assert sorted(seen) == list(range(n))
+
+
+def test_host_batches_cursor_resume():
+    """At-least-once resume: the cursor advances when the generator
+    resumes past a batch (same convention as VideoSource.batches), so a
+    job killed mid-batch re-processes that batch — idempotent per-frame
+    outputs make this safe (SURVEY.md §5 checkpoint/resume)."""
+    n = 8
+    frames = (np.arange(n)[:, None, None]
+              * np.ones((4, 8))).astype(np.uint8)
+    from stereo_depth_ruler_tpu.io.video import FrameCursor
+    cur = FrameCursor(source="<array>")
+    it = host_batches(VideoSource(frames, gray=False), 2,
+                      process_index=0, process_count=1, cursor=cur)
+    next(it)          # batch [0, 1]
+    next(it)          # batch [2, 3]; resuming past batch 1 set cursor=2
+    it.close()
+    assert cur.next_frame == 2
+    got = []
+    it2 = host_batches(VideoSource(frames, gray=False), 2,
+                       process_index=0, process_count=1, cursor=cur)
+    for idxs, _, _ in it2:
+        got.extend(int(i) for i in idxs if i >= 0)
+    assert got == list(range(2, n))   # batch [2,3] replayed, none lost
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    monkeypatch.delenv("SDR_COORDINATOR", raising=False)
+    monkeypatch.delenv("SDR_NUM_PROCESSES", raising=False)
+    assert initialize_distributed() is False
+
+
+def test_make_global_mesh_shapes():
+    mesh = make_global_mesh(tile=2, disp=2)      # 8 CPU devices -> frame=2
+    assert mesh.shape["frame"] == 2
+    assert mesh.shape["tile"] == 2
+    assert mesh.shape["disp"] == 2
+    with pytest.raises(ValueError):
+        make_global_mesh(tile=3, disp=1)         # 8 % 3 != 0

@@ -53,10 +53,44 @@ def test_halo_mode_close(pair, single):
     assert (out >= 0).mean() == pytest.approx((single >= 0).mean(), abs=0.05)
 
 
-def test_disp_axis_path_parallel(pair, single):
-    """tile=2 x disp=2: path groups split over disp members + psum must
-    equal the unsharded aggregation exactly (same additions, same order
-    within each path)."""
+def test_dshard_exact_bitwise(pair, single):
+    """disp=4 D-axis sharding (each member holds a 4-plane slice of the
+    16-disparity volume): the per-step pmin/ppermute couplings and the
+    all-reduce WTA/uniqueness/subpixel/LR must reproduce the unsharded
+    matcher bitwise (SURVEY §2.10 'Disparity-range parallel')."""
+    _need(4)
+    left, right = pair
+    mesh = make_mesh(tile=1, disp=4)
+    out = np.asarray(sgbm_sharded(left, right, PARAMS, mesh, exact=True))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_dshard_tile_exact_bitwise(pair, single):
+    """tile=2 x disp=2 exact wavefront + D-sharding composed: bitwise."""
+    _need(4)
+    left, right = pair
+    mesh = make_mesh(tile=2, disp=2)
+    out = np.asarray(sgbm_sharded(left, right, PARAMS, mesh, exact=True))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_dshard_local_slab_is_slice():
+    """The local cost slab really is a D-slice (memory scales by 1/n)."""
+    from stereo_depth_ruler_tpu.parallel.sharded import _local_cost_slab
+    rng = np.random.default_rng(0)
+    left = rng.uniform(0, 255, (16, 32)).astype(np.float32)
+    right = np.roll(left, -3, axis=1).astype(np.float32)
+    full = np.asarray(_local_cost_slab(left, right, PARAMS, 0, 16))
+    assert full.shape == (16, 32, 16)
+    for k in range(4):
+        part = np.asarray(_local_cost_slab(left, right, PARAMS, 0, 16,
+                                           disp_idx=k, n_disp=4))
+        assert part.shape == (16, 32, 4)
+        np.testing.assert_array_equal(part, full[:, :, 4 * k:4 * k + 4])
+
+
+def test_dshard_halo_close(pair, single):
+    """tile=2 x disp=2 halo mode with full-coverage halo: near-exact."""
     _need(4)
     left, right = pair
     mesh = make_mesh(tile=2, disp=2)
@@ -67,6 +101,26 @@ def test_disp_axis_path_parallel(pair, single):
     both = (out >= 0) & (single >= 0)
     agree = np.abs(out[both] - single[both]) <= 1.0 / 16.0
     assert agree.mean() > 0.99
+
+
+def test_pallas_tile_kernel_in_shard_map(pair, single):
+    """The sharded path dispatching the Mosaic kernels (kernel='pallas',
+    interpret mode on the CPU mesh): halo plumbing + in-image masking must
+    reproduce the jnp halo-mode result — with a full-coverage halo the
+    result matches the single-device matcher everywhere except
+    path-warm-start effects (none here: halo >= h_local)."""
+    _need(2)
+    from jax.experimental.pallas import tpu as pltpu
+    left, right = pair
+    mesh = make_mesh(tile=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sgbm_sharded(left, right, PARAMS, mesh, halo=16,
+                                      kernel="pallas"))
+    both = (out >= 0) & (single >= 0)
+    agree = np.abs(out[both] - single[both]) <= 1.0 / 16.0
+    assert agree.mean() > 0.99
+    assert (out >= 0).mean() == pytest.approx((single >= 0).mean(),
+                                              abs=0.05)
 
 
 def test_frame_sharded_pipeline_step(pair):

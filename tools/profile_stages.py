@@ -5,6 +5,9 @@ can't hide the work. Run as the only JAX process.
 """
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np
@@ -54,25 +57,31 @@ C, t_cost = timeit("cost_build (H,D,W) int16",
                    lambda a, b: sp.build_cost_volume_pallas(a, b, params,
                                                             out_dtype=jnp.int16),
                    lt, rt)
-Ct, t_tr1 = timeit("transpose (H,D,W)->(W,D,H)",
-                   lambda c: jnp.transpose(c, (2, 1, 0)), C)
+Ct, t_tr1 = timeit("pallas transpose (H,D,W)->(W,D,H)",
+                   sp.transpose_vol_pallas, C)
 P1, P2 = params.P1, params.P2
-_, t_h1 = timeit("dir pass fwd (W grid, no diag)",
-                 lambda c: sp.directional_pass_pallas(c, P1, P2, False, False), Ct)
-_, t_h2 = timeit("dir pass bwd (W grid, no diag)",
-                 lambda c: sp.directional_pass_pallas(c, P1, P2, True, False), Ct)
-Sh, t_add = timeit("add 2 vols + transpose back",
-                   lambda a, b: jnp.transpose(a + b, (2, 1, 0)), Ct, Ct)
-_, t_d = timeit("dir pass down (H grid, diag)",
-                lambda c: sp.directional_pass_pallas(c, P1, P2, False, True), C)
-_, t_u = timeit("dir pass up (H grid, diag)",
-                lambda c: sp.directional_pass_pallas(c, P1, P2, True, True), C)
-disp, t_wta = timeit("fused WTA/LR",
-                     lambda a, b, c: sp.wta_lr_pallas(a, b, c, params), C, C, Sh)
-_, t_spk = timeit("speckle (pallas CCL + hist)",
-                  lambda d: sp.speckle_filter_pallas(d, 200, 2.0), disp)
+hf, t_h1 = timeit("dir pass fwd (W grid, no diag)",
+                  lambda c: sp.directional_pass_pallas(c, P1, P2, False, False), Ct)
+_, t_h2 = timeit("dir pass bwd+acc (W grid)",
+                 lambda c, a: sp.directional_pass_pallas(c, P1, P2, True,
+                                                         False, acc=a), Ct, hf)
+Sh, t_tr2 = timeit("pallas transpose back",
+                   sp.transpose_vol_pallas, Ct)
+bias = sp._wta_bias(params, True, jnp.int16)
+Sdh, t_d = timeit("dir pass down+acc+bias (H grid, diag)",
+                  lambda c, a: sp.directional_pass_pallas(
+                      c, P1, P2, False, True, acc=a, out_offset=-bias), C, Sh)
+disp, t_wta = timeit("fused up+WTA+LR",
+                     lambda c, s: sp.up_wta_pallas(c, s, None, params,
+                                                   sd_offset=bias), C, Sdh)
+_, t_lab = timeit("speckle labels (pallas CCL)",
+                  lambda d: sp.speckle_labels_pallas(d, 2.0), disp)
+lab = jax.jit(lambda d: sp.speckle_labels_pallas(d, 2.0))(disp)
+_, t_siz = timeit("component sizes (sort)",
+                  lambda l: sp.component_sizes_sorted(l).astype(jnp.float32),
+                  lab)
 _, t_all = timeit("full sgbm_pallas",
                   lambda a, b: sp.sgbm_pallas(a, b, params), left, right)
 
-tot = t_cost + t_tr1 + t_h1 + t_h2 + t_add + t_d + t_u + t_wta + t_spk
+tot = (t_cost + t_tr1 + t_h1 + t_h2 + t_tr2 + t_d + t_wta + t_lab + t_siz)
 print(f"{'sum of stages':36s} {tot:8.3f} ms", file=sys.stderr)
