@@ -163,10 +163,49 @@ def bench_tpu_full_pipeline(rig, lefts, rights, iters=6):
     return iters * lb.shape[0] / dt
 
 
+def bench_tpu_sweep(iters=4):
+    """The 2560x1440x256 stress config (SURVEY §5 long-context analog):
+    1.9 GB int16 cost volume per frame, VMEM-autotuned cost blocks."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams
+    from stereo_depth_ruler_tpu.ops.sgbm_pallas import sgbm_pallas
+
+    Hs, Ws, Ds = 1440, 2560, 256
+    params = SGBMParams(num_disparities=Ds, block_size=5,
+                        speckle_window_size=200, speckle_range=2)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 255, (Hs, Ws)), jnp.float32)
+    right = jnp.asarray(np.roll(np.asarray(left), -20, axis=1))
+
+    fwd = jax.jit(lambda a, b: sgbm_pallas(a, b, params))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fwd(left, right))
+    log(f"sweep compile+first: {time.perf_counter() - t0:.1f}s, "
+        f"valid frac {(np.asarray(out) >= 0).mean():.3f}")
+
+    @jax.jit
+    def chained(l, r):
+        def body(i, acc):
+            d = sgbm_pallas(l + acc * 1e-20, r, params)
+            return jnp.sum(d[:1, :1]) * 1e-30 + acc
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chained(left, right))
+    t0 = time.perf_counter()
+    float(chained(left, right))
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--no-full", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also run the 2560x1440x256 stress config")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cv-frames", type=int, default=30)
     args = ap.parse_args()
@@ -192,6 +231,12 @@ def main():
         # is slower than cv_fps — the ratio below is therefore conservative
         extra = {"full_pipeline_fps": round(full_fps, 3),
                  "full_pipeline_vs_cv_sgbm": round(full_fps / cv_fps, 3)}
+
+    if args.sweep:
+        log("benchmarking 2560x1440x256 sweep config...")
+        sweep_fps = bench_tpu_sweep()
+        log(f"TPU sweep 2560x1440x256: {sweep_fps:.2f} fps")
+        extra["sweep_2560x1440x256_fps"] = round(sweep_fps, 3)
 
     print(json.dumps({
         "metric": f"stereo_fps_per_chip_{W}x{H}_{D}disp_sgbm",

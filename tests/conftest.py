@@ -7,19 +7,25 @@ numerical invariant is identity with the single-device run.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU = os.environ.get("SDR_TEST_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
 # The hosting image's axon TPU plugin force-registers itself from
 # sitecustomize and sets jax_platforms programmatically, overriding the env
 # var — undo that: unit tests must run on the 8-virtual-device CPU backend
-# (SURVEY.md §4), never through the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+# (SURVEY.md §4), never through the TPU tunnel. SDR_TEST_TPU=1 opts into
+# the real backend for the compiled-kernel parity tests
+# (tests/test_tpu_compiled.py), run as the only JAX process.
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
