@@ -16,10 +16,10 @@ import numpy as np
 
 H, W, D = 720, 1280, 128
 # per-Pallas-launch overhead measured ~0.5 ms through the runtime; batching
-# folds the batch into each kernel's grid, so 8 frames/launch amortizes it
-# to ~0.5 ms/frame across the ~8 launches of the matcher (HBM: 3 volumes
-# x 8 frames x 0.24 GB ~ 5.7 GB, well within 16 GB)
-BATCH = 8
+# folds the batch into each kernel's grid to amortize it. Batch 4 compiles
+# in ~110 s; batch 8 hit a pathological >10 min XLA compile (measured this
+# session) for a <1 ms/frame gain — not worth the bench-timeout risk.
+BATCH = 4
 
 
 def log(*a):
@@ -107,7 +107,10 @@ def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
 
     # honest timing: iterations chained by a data dependency INSIDE one
     # XLA program, fetching only a scalar — async dispatch / remote
-    # runtimes cannot elide or overlap-hide the work
+    # runtimes cannot elide or overlap-hide the work, and the ~15 ms
+    # per-dispatch tunnel latency (measured: multi-dispatch timing read
+    # 40.5 fps where the chained program reads ~46) stays out of the
+    # number
     @jax.jit
     def chained(l, r):
         def body(i, acc):

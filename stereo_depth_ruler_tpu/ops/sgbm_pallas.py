@@ -23,10 +23,16 @@ Kernels:
   (vertical + both diagonals, realized as ±1 lane shifts of the carry);
   horizontal passes run on the XLA-transposed volume with diagonals off.
 
-8-path total: 4 kernel launches (down, up, and 2 on the transpose) + XLA
-adds/transposes + the jnp WTA/uniqueness/subpixel/LR-check/speckle from
-ops/sgbm.py — keeping exact numeric parity with the oracle-pinned spec
-(tested in interpret mode; see tests/test_sgbm_pallas.py).
+8-path fused total: cost kernel + 2 horizontal passes (fwd, bwd with
+fused accumulate) on the transposed volume + down pass (accumulating
+S_h, bias-shifted into int16) + the fused up+WTA kernel emitting
+(disp, valid, packed-winner) maps; the winner-scatter LR-consistency
+stage and the final mask run as fused XLA map ops on those (H, W) maps
+(in-kernel dynamic-roll loops measured slower), and speckle runs as the
+Pallas CCL kernel + sort-based component sizes. Exact numeric parity
+with the oracle-pinned spec (interpret-mode tests in
+tests/test_sgbm_pallas.py; compiled-Mosaic parity on hardware in
+tests/test_tpu_compiled.py).
 
 Reference for what this implements: the OpenCV SGBM stage the reference
 constructs at stereo_vision/src/stereo_disparity.cpp:4-14.
@@ -554,11 +560,15 @@ def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
 
 
 def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
-              quantize_16: bool, disp12: int):
-    """(R, D, W) summed path volume -> (R, W) f32 disparity (-1 invalid).
+              quantize_16: bool):
+    """(R, D, W) summed path volume -> (disp, valid, packed) maps.
 
-    WTA + uniqueness + subpixel + LR-consistency in one vectorized body;
-    shared by the standalone WTA kernel and the fused up-pass+WTA kernel.
+    WTA + uniqueness + subpixel in one vectorized body; shared by the
+    standalone WTA kernel and the fused up-pass+WTA kernel. ``packed``
+    carries the per-column winner (s0*PK + d* + md, int32) for the
+    winner-scatter LR-consistency stage, which runs OUTSIDE the kernel
+    as fused XLA map ops (the in-kernel dynamic-roll loops compiled and
+    ran measurably slower than XLA's static-shift pipeline).
     """
     W = S.shape[2]
     dio = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 1)
@@ -584,65 +594,56 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
     valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
 
-    if disp12 >= 0:
-        # OpenCV winner-scatter disp2 (stereosgbm.cpp, matches
-        # lr_check_np): column x's WTA winner (s0, d*) lands at
-        # x_r = x - d* - md, min-cost on collisions, min-d on ties (the
-        # int32 pack orders exactly that). Everything runs on (R, W)
-        # maps — ~30x less data than the old full-volume shear, which
-        # cost ~4 ms/frame at 720p/128 as in-VMEM volume passes.
-        md = min_disp
+    PK = 1 << int(D + min_disp).bit_length()
+    packed = s0.astype(jnp.int32) * PK + d_star_i + min_disp
+    return disp, valid, packed
+
+
+def _lr_finalize(disp: jnp.ndarray, valid: jnp.ndarray,
+                 packed: jnp.ndarray, params: SGBMParams,
+                 apply_lr: bool) -> jnp.ndarray:
+    """Winner-scatter LR consistency (spec: ops/sgbm_ref.lr_check_np) on
+    the WTA kernels' (disp, valid, packed) maps, then final masking.
+    Pure (H, W)-map XLA ops; reuses ops.sgbm._winner_scatter_disp2."""
+    from .sgbm import _winner_scatter_disp2
+    ok = valid > 0.0
+    if apply_lr and params.disp12_max_diff >= 0:
+        D, md = params.num_disparities, params.min_disparity
         PK = 1 << int(D + md).bit_length()
-        BIGP = jnp.int32(2 ** 30)
-        s0i = s0.astype(jnp.int32)                  # exact small ints
-        packed = s0i * PK + d_star_i + md
-
-        def scatter_body(s, acc):
-            # the winner at lane x+s serves x_r = x when its offset == s
-            cand = pltpu.roll(packed, W - s, 1)
-            okm = ((cand & (PK - 1)) == s) & (xio < W - s)
-            return jnp.minimum(acc, jnp.where(okm, cand, BIGP))
-
-        disp2p = jax.lax.fori_loop(
-            md, D + md, scatter_body, jnp.full((R, W), BIGP, jnp.int32))
-        disp2 = jnp.where(disp2p < BIGP,
-                          (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
-
-        # consistency: cand(x) = disp2(x - round(disp)); out-of-range
-        # x_r (sentinel -2) passes, matching lr_check_np
-        rd = jnp.round(disp).astype(jnp.int32)
-
-        def gather_body(s, acc):
-            cand = pltpu.roll(disp2, s, 1)
-            okm = (rd == s) & (xio >= s)
-            return jnp.where(okm, cand, acc)
-
-        cand = jax.lax.fori_loop(
-            md, D + md, gather_body, jnp.full((R, W), -2.0, jnp.float32))
-        ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
-              | (cand == -2.0))
-        valid = valid * jnp.where(ok, 1.0, 0.0)
-
-    return jnp.where(valid > 0.0, disp, -1.0)
+        s0i = packed >> PK.bit_length() - 1
+        d_star = (packed & (PK - 1)) - md
+        disp2 = _winner_scatter_disp2(s0i, d_star, D, md)
+        W = disp.shape[-1]
+        xr = (jnp.arange(W)[None, :]
+              - jnp.round(disp).astype(jnp.int32)).astype(jnp.int32)
+        xr_ok = (xr >= 0) & (xr <= W - 1)
+        d2 = jnp.take_along_axis(disp2, jnp.clip(xr, 0, W - 1), axis=1)
+        consistent = ((d2 >= 0)
+                      & (jnp.abs(d2 - disp) <= params.disp12_max_diff))
+        ok &= jnp.where(xr_ok, consistent, True)
+    return jnp.where(ok, disp, -1.0)
 
 
-def _wta_lr_kernel(sd_ref, su_ref, sh_ref, out_ref, *, D: int, R: int,
-                   min_disp: int, uniq: int, quantize_16: bool,
-                   disp12: int):
+def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
+                   D: int, R: int, min_disp: int, uniq: int,
+                   quantize_16: bool):
     """Per grid step: R rows. Reads the 3 partial path-sum volumes and
-    emits final float disparity (invalid = -1) in one pass — replaces the
-    jnp wta + lr_check stages (which cost 35 + 19 ms at 720p128 as
-    separate XLA passes; fused here the volumes are read exactly once).
+    emits (disp, valid, packed-winner) maps in one pass — replaces the
+    jnp wta stage (which cost ~35 ms at 720p128 as a separate XLA pass;
+    fused here the volumes are read exactly once).
     """
     S = (sd_ref[:].astype(jnp.float32) + su_ref[:].astype(jnp.float32)
          + sh_ref[:].astype(jnp.float32))                    # (R, D, W)
-    out_ref[:] = _wta_body(S, D=D, R=R, min_disp=min_disp, uniq=uniq,
-                           quantize_16=quantize_16, disp12=disp12)
+    disp, valid, packed = _wta_body(S, D=D, R=R, min_disp=min_disp,
+                                    uniq=uniq, quantize_16=quantize_16)
+    disp_ref[:] = disp
+    val_ref[:] = valid
+    pk_ref[:] = packed
 
 
 def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
-                   uniq: int, quantize_16: bool, disp12: int,
+                   uniq: int, quantize_16: bool,
                    sd_offset: float = 0.0):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
@@ -650,11 +651,11 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
     in VMEM and the slab goes straight into the WTA body, saving one
     full volume write + read (~0.6 ms at 720p/128). ``sd_ref`` may carry
     the down+horizontal sum (3-input form passes S_h separately)."""
-    if len(refs) == 5:
-        sh_ref, out_ref, lv_ref, ldr_ref, ldl_ref = refs
+    if len(refs) == 7:
+        sh_ref, disp_ref, val_ref, pk_ref, lv_ref, ldr_ref, ldl_ref = refs
     else:
         sh_ref = None
-        out_ref, lv_ref, ldr_ref, ldl_ref = refs
+        disp_ref, val_ref, pk_ref, lv_ref, ldr_ref, ldl_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -697,8 +698,11 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
         rows.append((jj, S_row))
 
     S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
-    out_ref[:] = _wta_body(S, D=D, R=K, min_disp=min_disp, uniq=uniq,
-                           quantize_16=quantize_16, disp12=disp12)
+    disp, valid, packed = _wta_body(S, D=D, R=K, min_disp=min_disp,
+                                    uniq=uniq, quantize_16=quantize_16)
+    disp_ref[:] = disp
+    val_ref[:] = valid
+    pk_ref[:] = packed
 
 
 def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
@@ -725,7 +729,6 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
-        disp12=params.disp12_max_diff if apply_lr else -1,
         sd_offset=sd_offset)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
@@ -738,17 +741,21 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
 
     ins = [C, S_down] if S_h is None else [C, S_down, S_h]
     spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    mspec = pl.BlockSpec((K, W), lambda i: (H // K - 1 - i, 0),
+                         memory_space=pltpu.VMEM)
+    disp, valid, packed = pl.pallas_call(
         kernel,
         grid=(H // K,),
         in_specs=[spec] * len(ins),
-        out_specs=pl.BlockSpec((K, W), lambda i: (H // K - 1 - i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_specs=(mspec, mspec, mspec),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
+    return _lr_finalize(disp, valid, packed, params, apply_lr)
 
 
 def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
@@ -764,21 +771,24 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
 
     kernel = functools.partial(
         _wta_lr_kernel, D=D, R=R, min_disp=params.min_disparity,
-        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
-        disp12=params.disp12_max_diff if apply_lr else -1)
+        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16)
 
     spec = pl.BlockSpec((R, D, W), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    mspec = pl.BlockSpec((R, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    disp, valid, packed = pl.pallas_call(
         kernel,
         grid=(H // R,),
         in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_specs=(mspec, mspec, mspec),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(S_down, S_up, S_h)
+    return _lr_finalize(disp, valid, packed, params, apply_lr)
 
 
 # ---------------------------------------------------------------------------
