@@ -57,16 +57,16 @@ C, t_cost = timeit("cost_build (H,D,W) int16",
                    lambda a, b: sp.build_cost_volume_pallas(a, b, params,
                                                             out_dtype=jnp.int16),
                    lt, rt)
-Ct, t_tr1 = timeit("pallas transpose (H,D,W)->(W,D,H)",
-                   sp.transpose_vol_pallas, C)
+Ct, t_tr1 = timeit("transpose (H,D,W)->(W,D,H) [XLA]",
+                   lambda c: jnp.transpose(c, (2, 1, 0)), C)
 P1, P2 = params.P1, params.P2
 hf, t_h1 = timeit("dir pass fwd (W grid, no diag)",
                   lambda c: sp.directional_pass_pallas(c, P1, P2, False, False), Ct)
 _, t_h2 = timeit("dir pass bwd+acc (W grid)",
                  lambda c, a: sp.directional_pass_pallas(c, P1, P2, True,
                                                          False, acc=a), Ct, hf)
-Sh, t_tr2 = timeit("pallas transpose back",
-                   sp.transpose_vol_pallas, Ct)
+Sh, t_tr2 = timeit("transpose back [XLA]",
+                   lambda c: jnp.transpose(c, (2, 1, 0)), Ct)
 bias = sp._wta_bias(params, True, jnp.int16)
 Sdh, t_d = timeit("dir pass down+acc+bias (H grid, diag)",
                   lambda c, a: sp.directional_pass_pallas(
