@@ -114,9 +114,15 @@ class StereoPipeline:
 
             matcher = self._matcher
             if cfg.use_wls and cfg.lr_mode == "right_matcher":
-                disp_l = matcher(left, right, cfg.sgbm)
-                disp_r = matcher(right[:, ::-1], left[:, ::-1],
-                                 cfg.sgbm)[:, ::-1]
+                # left + right matcher as ONE batched (2, H, W) call —
+                # the Pallas kernels fold the batch into their grid, so
+                # the two matchers share each launch instead of running
+                # ~6 kernel dispatches twice sequentially
+                pair_l = jnp.stack([left, right[:, ::-1]])
+                pair_r = jnp.stack([right, left[:, ::-1]])
+                dd = jax.vmap(lambda a, b: matcher(a, b, cfg.sgbm))(
+                    pair_l, pair_r)
+                disp_l, disp_r = dd[0], dd[1][:, ::-1]
                 disp, conf = wls_disparity_filter(disp_l, disp_r, left)
             else:
                 disp = matcher(left, right, cfg.sgbm,
