@@ -25,11 +25,11 @@ Kernels:
 
 8-path fused total: cost kernel + 2 horizontal passes (fwd, bwd with
 fused accumulate) on the transposed volume + down pass (accumulating
-S_h, bias-shifted into int16) + the fused up+WTA kernel emitting
-(disp, valid, packed-winner) maps; the winner-scatter LR-consistency
-stage and the final mask run as fused XLA map ops on those (H, W) maps
-(in-kernel dynamic-roll loops measured slower), and speckle runs as the
-Pallas CCL kernel + sort-based component sizes. Exact numeric parity
+S_h, bias-shifted into int16) + the fused up+WTA kernel, which also
+runs the winner-scatter LR-consistency check in-kernel (log2(D)
+whole-block rolls of the packed-winner map — the r2 XLA 128-shift
+variant measured 11 ms/frame slower); speckle runs as the Pallas CCL
+kernel + sort-based component sizes. Exact numeric parity
 with the oracle-pinned spec (interpret-mode tests in
 tests/test_sgbm_pallas.py; compiled-Mosaic parity on hardware in
 tests/test_tpu_compiled.py).
@@ -152,6 +152,15 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
     # doubled-minmax terms
     lmin2, lmax2 = _bt_minmax(2 * lt)
     rmin2, rmax2 = _bt_minmax(2 * rt)
+    md = params.min_disparity
+    assert md >= 0, "pallas cost kernel supports min_disparity >= 0 only"
+    if md:
+        # kernel iterates relative d = 0..D-1; pre-shift the right family
+        # by min_disparity (x -> clip(x - md, 0), replicating column 0 —
+        # same clamp as bt_cost_volume) so relative d=0 is disparity md
+        xr0 = jnp.maximum(jnp.arange(W) - md, 0)
+        rt, rmin2, rmax2 = (jnp.take(a, xr0, axis=1)
+                            for a in (rt, rmin2, rmax2))
 
     def pad_rows(a):
         return jnp.pad(a, ((r, r), (0, 0)), mode="edge")
@@ -560,15 +569,23 @@ def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
 
 
 def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
-              quantize_16: bool):
+              quantize_16: bool, disp12: int = -1):
     """(R, D, W) summed path volume -> (disp, valid, packed) maps.
 
     WTA + uniqueness + subpixel in one vectorized body; shared by the
     standalone WTA kernel and the fused up-pass+WTA kernel. ``packed``
-    carries the per-column winner (s0*PK + d* + md, int32) for the
-    winner-scatter LR-consistency stage, which runs OUTSIDE the kernel
-    as fused XLA map ops (the in-kernel dynamic-roll loops compiled and
-    ran measurably slower than XLA's static-shift pipeline).
+    carries the per-column winner (s0*PK + d* + md, int32).
+
+    With ``disp12 >= 0`` (and min_disp >= 0) the winner-scatter
+    LR-consistency stage (spec: ops/sgbm_ref.lr_check_np) also runs
+    in-kernel: the D candidate shifts are realized as log2(D)
+    whole-block rolls of the packed-winner map over a (R, D, W)
+    broadcast (bit-decomposition of the per-plane shift), and the
+    disp2[x - round(disp)] gather as the mirrored shear + row select —
+    pure VPU, no volume re-reads. Folding this into ``valid`` here
+    replaces the r2 XLA `_winner_scatter_disp2` stage (a 128-step
+    masked shift/min pipeline over HBM-resident maps) that cost the
+    46.3->30.3 fps bench regression.
     """
     W = S.shape[2]
     dio = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 1)
@@ -596,6 +613,48 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
 
     PK = 1 << int(D + min_disp).bit_length()
     packed = s0.astype(jnp.int32) * PK + d_star_i + min_disp
+
+    if disp12 >= 0 and min_disp >= 0:
+        md = min_disp
+        W = S.shape[2]
+        xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
+        BIGP = jnp.int32(2 ** 30)
+        # --- winner scatter: disp2p(x) = min over q of packed(x+q+md)
+        # restricted to source columns whose winner is exactly q+md.
+        # sh[r, q, x] = packed[r, x+q+md]: left-roll row q by q (+md),
+        # built in log2(D) whole-block rolls via q's bit decomposition.
+        sh = jnp.broadcast_to(packed[:, None, :], (R, D, W))
+        if md % W:
+            sh = pltpu.roll(sh, W - (md % W), 2)
+        k = 1
+        while k < D:
+            sh = jnp.where((dio & k) != 0, pltpu.roll(sh, W - (k % W), 2),
+                           sh)
+            k *= 2
+        okm = ((sh & (PK - 1)) == dio + md) & (xio3 + dio + md < W)
+        disp2p = jnp.min(jnp.where(okm, sh, BIGP), axis=1)        # (R, W)
+        disp2 = jnp.where(disp2p < BIGP,
+                          (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
+        # --- consistency at x_r = x - round(disp): shr[r, q, x] =
+        # disp2[r, x-q-md] (right-roll by q+md), select row rd-md.
+        rd = jnp.round(disp)                                     # (R, W)
+        shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
+        if md % W:
+            shr = pltpu.roll(shr, md % W, 2)
+        k = 1
+        while k < D:
+            shr = jnp.where((dio & k) != 0, pltpu.roll(shr, k % W, 2), shr)
+            k *= 2
+        # x_r < 0 -> consistent by convention (sentinel -2); x_r > W-1
+        # impossible for md >= 0
+        shr = jnp.where(xio3 < dio + md, jnp.float32(-2.0), shr)
+        rsel = (rd - md)[:, None, :]
+        cand = jnp.min(jnp.where(dio.astype(jnp.float32) == rsel,
+                                 shr, _BIG), axis=1)             # (R, W)
+        ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
+              | (cand <= -1.5) | (cand >= _BIG * 0.5))
+        valid = valid * jnp.where(ok, 1.0, 0.0)
+
     return disp, valid, packed
 
 
@@ -626,7 +685,7 @@ def _lr_finalize(disp: jnp.ndarray, valid: jnp.ndarray,
 
 def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
                    D: int, R: int, min_disp: int, uniq: int,
-                   quantize_16: bool):
+                   quantize_16: bool, disp12: int = -1):
     """Per grid step: R rows. Reads the 3 partial path-sum volumes and
     emits (disp, valid, packed-winner) maps in one pass — replaces the
     jnp wta stage (which cost ~35 ms at 720p128 as a separate XLA pass;
@@ -635,7 +694,8 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
     S = (sd_ref[:].astype(jnp.float32) + su_ref[:].astype(jnp.float32)
          + sh_ref[:].astype(jnp.float32))                    # (R, D, W)
     disp, valid, packed = _wta_body(S, D=D, R=R, min_disp=min_disp,
-                                    uniq=uniq, quantize_16=quantize_16)
+                                    uniq=uniq, quantize_16=quantize_16,
+                                    disp12=disp12)
     disp_ref[:] = disp
     val_ref[:] = valid
     pk_ref[:] = packed
@@ -643,7 +703,7 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
 
 def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
-                   uniq: int, quantize_16: bool,
+                   uniq: int, quantize_16: bool, disp12: int = -1,
                    sd_offset: float = 0.0):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
@@ -699,7 +759,8 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
 
     S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
     disp, valid, packed = _wta_body(S, D=D, R=K, min_disp=min_disp,
-                                    uniq=uniq, quantize_16=quantize_16)
+                                    uniq=uniq, quantize_16=quantize_16,
+                                    disp12=disp12)
     disp_ref[:] = disp
     val_ref[:] = valid
     pk_ref[:] = packed
@@ -725,10 +786,13 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
     assert K % 8 == 0, (H, rows_per_step)
     idx = lambda i: (H // K - 1 - i, 0, 0)
 
+    lr_in_kernel = (apply_lr and params.disp12_max_diff >= 0
+                    and params.min_disparity >= 0)
     kernel = functools.partial(
         _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
+        disp12=params.disp12_max_diff if lr_in_kernel else -1,
         sd_offset=sd_offset)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
@@ -755,7 +819,8 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
-    return _lr_finalize(disp, valid, packed, params, apply_lr)
+    return _lr_finalize(disp, valid, packed, params,
+                        apply_lr and not lr_in_kernel)
 
 
 def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
@@ -769,9 +834,12 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
     R = rows_per_step
     assert H % R == 0
 
+    lr_in_kernel = (apply_lr and params.disp12_max_diff >= 0
+                    and params.min_disparity >= 0)
     kernel = functools.partial(
         _wta_lr_kernel, D=D, R=R, min_disp=params.min_disparity,
-        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16)
+        uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
+        disp12=params.disp12_max_diff if lr_in_kernel else -1)
 
     spec = pl.BlockSpec((R, D, W), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -788,7 +856,8 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(S_down, S_up, S_h)
-    return _lr_finalize(disp, valid, packed, params, apply_lr)
+    return _lr_finalize(disp, valid, packed, params,
+                        apply_lr and not lr_in_kernel)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,22 @@ def test_component_sizes_sorted():
     np.testing.assert_array_equal(sizes, counts[lab])
 
 
+@pytest.mark.parametrize("min_disp", [0, 3])
+def test_in_kernel_lr_parity(imgs, min_disp):
+    """The in-kernel winner-scatter LR check (log-roll shear) matches the
+    jnp _winner_scatter_disp2 path bit-for-bit, including min_disp != 0."""
+    left, right = imgs
+    p = SGBMParams(num_disparities=16, block_size=5, p1=72, p2=288,
+                   speckle_window_size=0, min_disparity=min_disp)
+    d_ref = np.asarray(js.sgbm(jnp.asarray(left), jnp.asarray(right), p,
+                               apply_lr=True))
+    with pltpu.force_tpu_interpret_mode():
+        d_p = np.asarray(sp.sgbm_pallas(jnp.asarray(left),
+                                        jnp.asarray(right), p,
+                                        apply_lr=True))
+    np.testing.assert_array_equal(d_ref, d_p)
+
+
 def test_up_wta_fused_parity(cost):
     """Fused up-pass+WTA == separate up pass + wta_lr_pallas."""
     _, _, C_ref = cost
