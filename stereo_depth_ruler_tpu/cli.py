@@ -67,6 +67,19 @@ def cmd_run(args) -> int:
         writer = SbsVideoWriter(args.overlay_out, fps=30.0)
         dvis = DisparityVis(cfg.sgbm.num_disparities)
 
+    viewer = None
+    if getattr(args, "show", False):
+        # reference UX parity: overlay + depth windows with the
+        # freeze-frame click ruler (stereo_displayer.cpp:121-250);
+        # degrades headless with a warning
+        from . import viewer as viewer_mod
+        if viewer_mod.available():
+            viewer = viewer_mod.InteractiveViewer(
+                cfg.sgbm.num_disparities, csv_path=args.show_csv)
+        else:
+            print("--show: no display backend available; continuing "
+                  "headless", file=sys.stderr)
+
     import time
     import jax
     n_done = 0
@@ -92,6 +105,13 @@ def cmd_run(args) -> int:
             if writer is not None:
                 lrect = np.asarray(out["left_rectified"])[k]
                 writer.write(overlay_heat(lrect, dvis(disp[k])))
+            if viewer is not None:
+                lrect = np.asarray(out["left_rectified"])[k]
+                if not viewer.show_frame(lrect, disp[k],
+                                         np.asarray(out["xyz"])[k]):
+                    viewer.close()
+                    print(json.dumps(log.summary()))
+                    return 0
             n_done += 1
             if args.max_frames and n_done >= args.max_frames:
                 break
@@ -217,6 +237,10 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", help="metrics JSONL path")
     p.add_argument("--overlay-out", help="overlay mp4 path")
     p.add_argument("--resume", help="cursor JSON for checkpoint/resume")
+    p.add_argument("--show", action="store_true",
+                   help="local OpenCV viewer: overlay + depth windows, "
+                        "'f' freezes for click-to-measure (needs display)")
+    p.add_argument("--show-csv", help="CSV path for --show measurements")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("measure", help="two-point measurement")

@@ -265,7 +265,8 @@ def _segmented_min_scan(vals: jnp.ndarray, conn: jnp.ndarray) -> jnp.ndarray:
 
 
 def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
-                   max_size: int, max_diff: float) -> jnp.ndarray:
+                   max_size: int, max_diff: float,
+                   max_iters: int = 0) -> jnp.ndarray:
     """Connected-component speckle removal (cv::filterSpeckles semantics)
     as iterated segmented min-sweeps — a gather-free, TPU-friendly CCL.
 
@@ -276,6 +277,17 @@ def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
     (`while_loop` on "any label changed"), so the result is the exact
     flood-fill CCL for arbitrarily snaky components. Components with
     ≤ max_size pixels are invalidated.
+
+    Convergence cost is data-dependent: one round fuses labels along any
+    monotone row/column chain, so rounds ≈ half the largest number of
+    direction turns on a component's geodesic. Measured
+    (tests/test_speckle_bound.py): natural synthetic scenes converge in
+    ≤ 3 rounds; the adversarial full-image serpentine at H×W needs
+    ~H/(2·pitch) rounds (e.g. 16 rounds at 64×96, pitch 2). ``max_iters``
+    > 0 caps the rounds for a hard latency ceiling — capped labels can
+    only over-split (never merge) components, so a cap may only turn
+    "keep" into "filter" for pathological snakes; 0 keeps the exact
+    flood-fill default (matches cv::filterSpeckles on every input).
     """
     H, W = disp.shape
     n = H * W
@@ -295,13 +307,19 @@ def speckle_filter(disp: jnp.ndarray, valid: jnp.ndarray,
     conn_vT = conn_v.T
 
     def body(state):
-        lab, _ = state
+        lab, _, it = state
         new = _segmented_min_scan(lab, conn_h)
         new = _segmented_min_scan(new.T, conn_vT).T
-        return new, jnp.any(new != lab)
+        return new, jnp.any(new != lab), it + 1
 
-    labels, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                   (labels, jnp.bool_(True)))
+    def cond(state):
+        changed = state[1]
+        if max_iters > 0:
+            return changed & (state[2] < max_iters)
+        return changed
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
     labels = labels.astype(jnp.int32)
 
     sizes = jnp.zeros(n + 1, jnp.int32).at[labels.reshape(-1)].add(

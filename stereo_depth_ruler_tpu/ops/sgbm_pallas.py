@@ -356,7 +356,7 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
 def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             reverse: bool, with_diag: bool,
                             out_dtype=None, acc: jnp.ndarray = None,
-                            rows_per_step: int = 4,
+                            rows_per_step: int = 0,
                             out_offset: float = 0.0) -> jnp.ndarray:
     """One scan pass over axis 0 of an (N, D, W) volume.
 
@@ -365,10 +365,20 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
     paths (carry lane-shifts) with the axial path. ``acc`` (same shape)
     is added into the output in-kernel (donated/aliased), fusing the
     down+up path-sum accumulation into the pass itself.
+
+    rows_per_step (K) defaults to the largest divisor of N whose
+    (K, D, W) slab stays <= ~6 MB: per-grid-step fixed overhead (~2-3 us
+    x N/K sequential steps) dominated the r2 passes at K=4 (N=720/1280
+    meant 180-320 steps; ~1 ms/pass of bubbles at 720p/128).
     """
     N, D, W = C.shape
     out_dtype = out_dtype or C.dtype
     K = rows_per_step
+    if not K:
+        row_bytes = D * W * jnp.dtype(C.dtype).itemsize
+        K = 16
+        while K > 1 and K * row_bytes > 6 * 1024 * 1024:
+            K //= 2
     while N % K:
         K //= 2
 
@@ -866,7 +876,7 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
 
 
 def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
-                           max_diff: float):
+                           max_diff: float, max_iters: int = 0):
     """Min-label CCL, fully VMEM-resident.
 
     Labels (min flat-index per 4-connected component of similar disparity)
@@ -927,25 +937,33 @@ def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
         return val
 
     def body(state):
-        lab, _ = state
+        lab, _, it = state
         new = sweep(lab, c_h, 1, W, False)
         new = sweep(new, c_h, 1, W, True)
         new = sweep(new, c_v, 0, H, False)
         new = sweep(new, c_v, 0, H, True)
-        return new, jnp.any(new != lab)
+        return new, jnp.any(new != lab), it + 1
 
-    lab, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                (lab0, jnp.bool_(True)))
+    def cond(state):
+        if max_iters > 0:
+            return state[1] & (state[2] < max_iters)
+        return state[1]
+
+    lab, _, _ = jax.lax.while_loop(cond, body,
+                                   (lab0, jnp.bool_(True), jnp.int32(0)))
     lab_ref[:] = jnp.where(valid, lab, sent)
 
 
-def speckle_labels_pallas(disp: jnp.ndarray,
-                          max_diff: float) -> jnp.ndarray:
+def speckle_labels_pallas(disp: jnp.ndarray, max_diff: float,
+                          max_iters: int = 0) -> jnp.ndarray:
     """(H, W) disparity -> (H, W) int32 component labels (min flat
-    index; invalid pixels get H*W)."""
+    index; invalid pixels get H*W). ``max_iters`` > 0 caps the
+    convergence rounds (see ops/sgbm.speckle_filter docstring for the
+    measured bounds); 0 = exact flood-fill."""
     H, W = disp.shape
     kernel = functools.partial(_speckle_labels_kernel, H=H, W=W,
-                               max_diff=float(max_diff))
+                               max_diff=float(max_diff),
+                               max_iters=max_iters)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -981,14 +999,24 @@ def component_sizes_sorted(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
-                          max_diff: float) -> jnp.ndarray:
-    """Full speckle filter: pallas CCL labels + sort-based component sizes.
+                          max_diff: float,
+                          max_iters: int = 0) -> jnp.ndarray:
+    """Full speckle filter: pallas CCL labels + component sizes.
 
     Equivalent to ops.sgbm.speckle_filter on (disp, disp>=0). Every member
     of a component is valid (invalid pixels carry the sentinel label), so
     counting all label occurrences equals the valid-only histogram for
-    valid pixels; invalid pixels are masked below."""
-    labels = speckle_labels_pallas(disp, max_diff)
+    valid pixels; invalid pixels are masked below.
+
+    Sizes come from the VMEM bitonic-sort kernel (ops/sort_tpu.py, ~4x
+    faster than the XLA double lax.sort at 720p) when the map fits in
+    VMEM; larger maps (e.g. the 2560x1440 sweep) use the XLA-sort
+    fallback."""
+    labels = speckle_labels_pallas(disp, max_diff, max_iters)
     valid = disp >= 0
-    comp_size = component_sizes_sorted(labels)
+    if labels.size <= 2 ** 21:
+        from .sort_tpu import equal_value_counts_pallas
+        comp_size = equal_value_counts_pallas(labels)
+    else:
+        comp_size = component_sizes_sorted(labels)
     return valid & (comp_size > max_size)

@@ -1,0 +1,213 @@
+"""VMEM-resident bitonic sort + per-element equal-value counts for TPU.
+
+Replaces `jax.lax.sort_key_val` in the speckle component-size stage
+(ops/sgbm_pallas.component_sizes_sorted): XLA's generic TPU sort of the
+~1M-label map measured 6.4 ms at 720p (two sorts — rank and unpermute);
+this kernel runs the whole pipeline (bitonic sort by label, segmented
+run-length scan, bitonic unpermute) on int32 arrays that never leave
+VMEM, using only whole-array lane/sublane rolls and selects — no
+gathers, no scatters.
+
+Layout: the flat array is viewed as (R, L) with L = 128*2**ceil..., in
+row-major flat order. A bitonic exchange at XOR-distance k is realized
+as two circular rolls + a parity select (partner(f) = f ^ k), on lanes
+for k < L and on sublanes for k >= L. The segmented scans use flat
+shifts (lane roll + sublane carry select).
+
+Semantics match cv::filterSpeckles' component counting via
+ops/sgbm_pallas.component_sizes_sorted (exact; tested in
+tests/test_sort_tpu.py). Reference behavior anchor:
+/root/reference/stereo_vision/src/stereo_disparity.cpp:8
+(speckleWindowSize=200).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["equal_value_counts_pallas"]
+
+_INF = 2 ** 30  # python int: jnp scalars would be captured consts in-kernel
+
+
+def _flat_roll(a, k: int, R: int, L: int, fill):
+    """val[f - k] over the row-major flat order of an (R, L) block
+    (k > 0, k < R*L); out-of-range positions (f < k) get ``fill``."""
+    yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    kr, kl = divmod(k, L)
+    R_ = a.shape[0]
+    if kl == 0:
+        out = pltpu.roll(a, kr % R_, 0)
+    else:
+        lr = pltpu.roll(a, kl, 1)          # val[y, x - kl (mod L)]
+        # x < kl wraps: needs previous row's tail -> one extra sublane roll
+        out = jnp.where(xio >= kl, pltpu.roll(lr, kr % R_, 0),
+                        pltpu.roll(lr, (kr + 1) % R_, 0))
+    f = yio * L + xio
+    return jnp.where(f >= k, out, fill)
+
+
+def _xor_partner(a, k: int, L: int):
+    """val[f ^ k] for power-of-two k over flat (R, L) row-major order."""
+    if k < L:
+        io = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        fwd = pltpu.roll(a, L - k, 1)      # val[x + k]
+        bwd = pltpu.roll(a, k, 1)          # val[x - k]
+    else:
+        kr = k // L
+        R = a.shape[0]
+        io = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        io = io * L  # scale so (io & k) tests the right bit
+        fwd = pltpu.roll(a, R - kr, 0)
+        bwd = pltpu.roll(a, kr, 0)
+    return jnp.where((io & k) == 0, fwd, bwd)
+
+
+def _flat_roll_fwd(a, k: int, R: int, L: int, fill):
+    """val[f + k] over flat (R, L) row-major order; f + k >= n2 -> fill."""
+    yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    kr, kl = divmod(k, L)
+    if kl == 0:
+        out = pltpu.roll(a, R - kr, 0) if kr else a
+    else:
+        lr = pltpu.roll(a, L - kl, 1)      # val[y, x + kl (mod L)]
+        nr = (R - kr - 1) % R
+        out = jnp.where(xio < L - kl, pltpu.roll(lr, (R - kr) % R, 0),
+                        pltpu.roll(lr, nr, 0))
+    f = yio * L + xio
+    return jnp.where(f + k < R * L, out, fill)
+
+
+def _sort_chunk_kernel(k_ref, v_ref, ko_ref, vo_ref, *, exchanges,
+                       n2: int, L: int):
+    """A chunk of bitonic compare-exchanges ((stage, k) pairs, in order).
+
+    Chunked because Mosaic's scoped-VMEM stack grows ~5 MB per unrolled
+    exchange at (1024, 1024): one kernel per outer stage (up to 20
+    exchanges) overflowed the 100 MB limit."""
+    key, val = k_ref[:], v_ref[:]
+    R = key.shape[0]
+    yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    f = yio * L + xio
+    for stage, k in exchanges:
+        pk = _xor_partner(key, k, L)
+        pv = _xor_partner(val, k, L)
+        up = (f & stage) == 0 if stage < n2 else jnp.bool_(True)
+        lower = (f & k) == 0
+        take_min = jnp.logical_not(jnp.logical_xor(lower, up))
+        keep = ((take_min & (key <= pk))
+                | (jnp.logical_not(take_min) & (key >= pk)))
+        key = jnp.where(keep, key, pk)
+        val = jnp.where(keep, val, pv)
+    ko_ref[:] = key
+    vo_ref[:] = val
+
+
+def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
+                         L: int, chunk: int = 6):
+    """Ascending (key, val) bitonic sort as a chain of pallas_calls of
+    ``chunk`` compare-exchanges each. A single fully-unrolled kernel
+    (210 exchanges at n2 = 2^20) took Mosaic >25 min to compile and one
+    kernel per outer stage overflowed scoped VMEM; ~6-exchange chunks
+    compile in seconds and keep the stack ~30 MB. The extra HBM
+    round-trips are 8 MB per chunk (~0.4 ms total at 720p)."""
+    R = key.shape[0]
+    exchanges = []
+    stage = 2
+    while stage <= n2:
+        k = stage // 2
+        while k >= 1:
+            exchanges.append((stage, k))
+            k //= 2
+        stage *= 2
+    for i in range(0, len(exchanges), chunk):
+        kernel = functools.partial(_sort_chunk_kernel,
+                                   exchanges=tuple(exchanges[i:i + chunk]),
+                                   n2=n2, L=L)
+        key, val = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),) * 2,
+            input_output_aliases={0: 0, 1: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(key, val)
+    return key, val
+
+
+def _sizes_scan_kernel(sk_ref, si_ref, so_ref, io_ref, *, n2: int, L: int):
+    """Sorted keys -> per-position run length (sizes_sorted), passing
+    sidx through for the unpermute sorts."""
+    skey = sk_ref[:]
+    R = skey.shape[0]
+    yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    f = yio * L + xio
+    prev = _flat_roll(skey, 1, R, L, _INF - 1)
+    start = skey != prev
+    rs = jnp.where(start, f, 0)
+    k = 1
+    while k < n2:
+        rs = jnp.maximum(rs, _flat_roll(rs, k, R, L, 0))
+        k *= 2
+    ne = jnp.where(start, f, n2)
+    k = 1
+    while k < n2:
+        ne = jnp.minimum(ne, _flat_roll_fwd(ne, k, R, L, n2))
+        k *= 2
+    nxt = _flat_roll_fwd(ne, 1, R, L, n2)
+    so_ref[:] = nxt - rs
+    io_ref[:] = si_ref[:]
+
+
+@jax.custom_batching.custom_vmap
+def equal_value_counts_pallas(labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-element count of equal int32 values. Drop-in replacement for
+    ops/sgbm_pallas.component_sizes_sorted for arrays up to 2^21 elements
+    (VMEM-resident); larger inputs should use the XLA-sort fallback.
+
+    Batching: jax.vmap's default pallas rule folds the batch axis into
+    each kernel's block (VMEM OOM at 720p batch 4), so vmap is overridden
+    to a sequential lax.map — each frame's sort chain already saturates
+    the VPU on its own."""
+    shape = labels.shape
+    n = labels.size
+    n2 = 1
+    while n2 < n:
+        n2 *= 2
+    L = min(n2, 1024)
+    R = n2 // L
+    flat = jnp.full((n2,), _INF, jnp.int32).at[:n].set(
+        labels.reshape(-1).astype(jnp.int32))
+    key = flat.reshape(R, L)
+    pos = jnp.arange(n2, dtype=jnp.int32).reshape(R, L)
+    skey, sidx = _bitonic_sort_staged(key, pos, n2, L)
+    kernel = functools.partial(_sizes_scan_kernel, n2=n2, L=L)
+    sizes_sorted, sidx = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec((R, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(skey, sidx)
+    _, out = _bitonic_sort_staged(sidx, sizes_sorted, n2, L)
+    return out.reshape(-1)[:n].reshape(shape)
+
+
+@equal_value_counts_pallas.def_vmap
+def _counts_vmap_rule(axis_size, in_batched, labels):
+    del axis_size, in_batched
+    return jax.lax.map(equal_value_counts_pallas, labels), True
