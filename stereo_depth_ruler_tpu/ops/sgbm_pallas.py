@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sgbm import SGBMParams, _bt_minmax, lr_check, sobel_clip, speckle_filter, wta
 
-__all__ = ["build_cost_volume_pallas", "directional_pass_pallas",
+__all__ = ["build_cost_volume_pallas", "build_cost_down_pallas",
+           "directional_pass_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
            "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas",
            "sgbm_tile_pallas"]
@@ -212,6 +213,184 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
     # dedicated Pallas permute kernel measured the same 2.4 ms — both are
     # DMA-bound at this block shape)
     return jnp.transpose(C_dhw, (1, 0, 2))
+
+
+def _cost_down_kernel(lt_ref, lmin_ref, lmax_ref,
+                      rt_ref, rmin_ref, rmax_ref,
+                      c_ref, s3_ref, cost_scr, lv_ref, ldr_ref, ldl_ref,
+                      *, D: int, blk: int, block_size: int, out_dtype,
+                      group: int, P1: float, P2: float, with_diag: bool):
+    """Fused cost build + top-down DP (vertical + both diagonals).
+
+    Per grid step (top-to-bottom row slabs): the d loop fills a
+    (D, blk, W) f32 cost scratch (same math as _cost_box_kernel), then a
+    row loop runs the 3-path down DP with carries persisting across grid
+    steps in scratch, emitting the cost block AND the S_down3 partial
+    path-sum block in (blk, D, W) H-major layout — no (D,H,W)->(H,D,W)
+    transpose pass, no separate down-pass kernel (together ~2.9 ms of
+    the r2 chain at 720p/128)."""
+    r = block_size // 2
+    W = lt_ref.shape[1]
+    lt = lt_ref[:]
+    lmin = lmin_ref[:]
+    lmax = lmax_ref[:]
+    zero = jnp.float32(0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
+
+    def one_d(rt, rmin, rmax):
+        c_lr = jnp.maximum(zero, jnp.maximum(lt - rmax, rmin - lt))
+        c_rl = jnp.maximum(zero, jnp.maximum(rt - lmax, lmin - rt))
+        c = jnp.minimum(c_lr, c_rl)
+        cv = c[0:blk, :]
+        for dy in range(1, block_size):
+            cv = cv + c[dy:dy + blk, :]
+        left_edge = jnp.broadcast_to(cv[:, 0:1], (blk, W))
+        right_edge = jnp.broadcast_to(
+            pltpu.roll(cv, 1, 1)[:, 0:1], (blk, W))
+        acc = cv
+        for dx in range(1, r + 1):
+            sh_l = jnp.where(xio < dx, left_edge, pltpu.roll(cv, dx, 1))
+            sh_r = jnp.where(xio >= W - dx, right_edge,
+                             pltpu.roll(cv, W - dx, 1))
+            acc = acc + sh_l + sh_r
+        return acc
+
+    def sh1(a):
+        return jnp.concatenate([a[:, :1], a[:, :W - 1]], axis=1)
+
+    def body_group(g, carry):
+        rt, rmin, rmax = carry
+        for j in range(group):
+            cost_scr[pl.ds(g * group + j, 1)] = one_d(rt, rmin, rmax)[None]
+            rt, rmin, rmax = sh1(rt), sh1(rmin), sh1(rmax)
+        return rt, rmin, rmax
+
+    jax.lax.fori_loop(0, D // group, body_group,
+                      (rt_ref[:], rmin_ref[:], rmax_ref[:]))
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        lv_ref[:] = jnp.zeros_like(lv_ref)
+        if with_diag:
+            ldr_ref[:] = jnp.zeros_like(ldr_ref)
+            ldl_ref[:] = jnp.zeros_like(ldl_ref)
+
+    # leading-two-dims transpose = tile-address permutation (cheap);
+    # per-row strided reads of the (D, blk, W) scratch measured ~2x the
+    # whole kernel's runtime (1/8 sublane efficiency per (D, 1, W) slice)
+    cost_hdw = jnp.transpose(cost_scr[:], (1, 0, 2))   # (blk, D, W)
+
+    for y in range(blk):
+        c = cost_hdw[y]                            # (D, W) contiguous
+
+        def update(Lprev):
+            minL = jnp.min(Lprev, axis=0, keepdims=True)
+            big = jnp.full((1, W), _BIG, jnp.float32)
+            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
+            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
+            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
+                               jnp.minimum(lm1, lp1) + P1)
+            return c + best - minL
+
+        Lv = update(lv_ref[:])
+        lv_ref[:] = Lv
+        s3 = Lv
+        if with_diag:
+            zcol = jnp.zeros((D, 1), jnp.float32)
+            pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
+            pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
+            Ldr = update(pdr)
+            Ldl = update(pdl)
+            ldr_ref[:] = Ldr
+            ldl_ref[:] = Ldl
+            s3 = s3 + Ldr + Ldl
+        c_ref[y] = c.astype(out_dtype)
+        s3_ref[y] = s3.astype(out_dtype)
+
+
+def build_cost_down_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
+                           params: SGBMParams, blk: int = 16,
+                           out_dtype=jnp.int16
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W) Sobel-clipped eyes -> (C, S_down3), both (H, D, W).
+
+    C matches box_filter_volume(bt_cost_volume(...)); S_down3 is the sum
+    of the down + two down-diagonal path volumes (bit-equal to
+    directional_pass_pallas(C, ..., with_diag) — tested). One kernel
+    replaces cost + leading transpose + down pass."""
+    H, W = lt.shape
+    D = params.num_disparities
+    r = params.block_size // 2
+    while H % blk:
+        blk //= 2
+    group = 16
+    while D % group:
+        group //= 2
+    with_diag = params.num_paths == 8
+
+    lt = lt.astype(jnp.float32)
+    rt = rt.astype(jnp.float32)
+    lmin2, lmax2 = _bt_minmax(2 * lt)
+    rmin2, rmax2 = _bt_minmax(2 * rt)
+    md = params.min_disparity
+    assert md >= 0, "pallas cost kernel supports min_disparity >= 0 only"
+    if md:
+        xr0 = jnp.maximum(jnp.arange(W) - md, 0)
+        rt, rmin2, rmax2 = (jnp.take(a, xr0, axis=1)
+                            for a in (rt, rmin2, rmax2))
+
+    def pad_rows(a):
+        return jnp.pad(a, ((r, r), (0, 0)), mode="edge")
+
+    rows = ((blk + 2 * r + 7) // 8) * 8
+
+    def windows(a):
+        idx = (jnp.arange(H // blk)[:, None] * blk
+               + jnp.arange(rows)[None, :])
+        idx = jnp.minimum(idx, a.shape[0] - 1)
+        return a[idx]
+
+    ins = [windows(pad_rows(x)) for x in
+           (2 * lt, lmin2, lmax2, 2 * rt, rmin2, rmax2)]
+
+    def spec3(w):
+        return pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _cost_down_kernel, D=D, blk=blk, block_size=params.block_size,
+        out_dtype=out_dtype, group=group, P1=float(params.P1),
+        P2=float(params.P2), with_diag=with_diag)
+
+    def kernel3(lt_r, lmin_r, lmax_r, rt_r, rmin_r, rmax_r, c_r, s3_r,
+                *scratch):
+        kernel(lt_r.at[0], lmin_r.at[0], lmax_r.at[0],
+               rt_r.at[0], rmin_r.at[0], rmax_r.at[0], c_r, s3_r,
+               *scratch)
+
+    vspec = pl.BlockSpec((blk, D, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((D, blk, W), jnp.float32),
+               pltpu.VMEM((D, W), jnp.float32)]
+    if with_diag:
+        scratch += [pltpu.VMEM((D, W), jnp.float32),
+                    pltpu.VMEM((D, W), jnp.float32)]
+    else:
+        scratch += [pltpu.VMEM((8, 128), jnp.float32),
+                    pltpu.VMEM((8, 128), jnp.float32)]
+    C, S3 = pl.pallas_call(
+        kernel3,
+        grid=(H // blk,),
+        in_specs=[spec3(W)] * 6,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((H, D, W), out_dtype),) * 2,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    return C, S3
 
 
 # ---------------------------------------------------------------------------
@@ -462,10 +641,11 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     lt = sobel_clip(left.astype(jnp.float32), cap)
     rt = sobel_clip(right.astype(jnp.float32), cap)
     if not cost_blk:
-        # VMEM-aware row-block size: the cost kernel's (blk, D, W) output
-        # block is double-buffered; keep it within ~32 MB so the
-        # 2560x1440x256 sweep config compiles (1.89 GB volume in HBM,
-        # 21 MB blocks in VMEM at blk=16)
+        # VMEM-aware row-block size. Fused cost+down kernel: f32 cost
+        # scratch (4 B) + two double-buffered int16 output blocks (8 B)
+        # = 12 B per (blk, D, W) element; keep under ~40 MB (the
+        # 2560x1440x256 sweep then picks blk=4). Unfused path: only the
+        # (blk, D, W) output block is double-buffered.
         itemsize = jnp.dtype(volume_dtype).itemsize
         cost_blk = 48
         while (cost_blk > 8 and cost_blk * params.num_disparities
@@ -474,10 +654,15 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     # all cost/path values are small exact integers (C <= 6300,
     # L_r <= 8700, fused 3-path sums <= 26100), so int16 volumes halve
     # HBM traffic with zero numeric change (compute stays f32 in-kernel)
+    P1, P2 = params.P1, params.P2
     C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
                                  out_dtype=volume_dtype)
-    P1, P2 = params.P1, params.P2
     if fused_wta and params.num_paths >= 4:
+        # NOTE: build_cost_down_pallas (fused cost+down) measured 5.6 ms
+        # vs 3.5 + 1.4 for the separate kernels at 720p/128 (the
+        # in-kernel (D, blk, W)->(blk, D, W) relayout costs more than
+        # the XLA transpose + extra volume pass it saves) — kept for the
+        # tile path experiments but not used here.
         with_diag = params.num_paths == 8
         Ct = jnp.transpose(C, (2, 1, 0))
         hf = directional_pass_pallas(Ct, P1, P2, False, False)
@@ -488,9 +673,6 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
         # paths, each bounded by boxed-BT max (25 * 4 * cap) + P2
         bias = _wta_bias(params, with_diag, volume_dtype)
         if bias is not None:
-            # down pass accumulates S_h in-kernel, bias-shifted to fit
-            # int16 (exact integer shift); the fused up+WTA kernel reads
-            # just two volumes and un-shifts
             S_dh = directional_pass_pallas(C, P1, P2, False, with_diag,
                                            acc=S_h, out_offset=-bias)
             disp = up_wta_pallas(C, S_dh, None, params, apply_lr=apply_lr,
@@ -1015,8 +1197,8 @@ def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
     labels = speckle_labels_pallas(disp, max_diff, max_iters)
     valid = disp >= 0
     if labels.size <= 2 ** 21:
-        from .sort_tpu import equal_value_counts_pallas
-        comp_size = equal_value_counts_pallas(labels)
+        from .sort_tpu import speckle_keep_pallas
+        keep = speckle_keep_pallas(labels, max_size)
     else:
-        comp_size = component_sizes_sorted(labels)
-    return valid & (comp_size > max_size)
+        keep = component_sizes_sorted(labels) > max_size
+    return valid & keep

@@ -127,3 +127,17 @@ def test_up_wta_fused_parity(cost):
         ref = np.asarray(sp.wta_lr_pallas(S_down, S_up, S_h, PARAMS))
         got = np.asarray(sp.up_wta_pallas(C, S_down, S_h, PARAMS))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cost_down_fused_parity(cost):
+    """Fused cost+down kernel == separate cost kernel + down pass."""
+    lt, rt, C_ref = cost
+    with pltpu.force_tpu_interpret_mode():
+        C, S3 = sp.build_cost_down_pallas(lt, rt, PARAMS, blk=8)
+        S3_ref = sp.directional_pass_pallas(
+            jnp.transpose(jnp.asarray(C_ref), (0, 2, 1)),
+            PARAMS.P1, PARAMS.P2, False, True)
+    np.testing.assert_array_equal(
+        np.transpose(np.asarray(C), (0, 2, 1)), C_ref)
+    np.testing.assert_array_equal(np.asarray(S3).astype(np.float32),
+                                  np.asarray(S3_ref))

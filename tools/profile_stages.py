@@ -77,11 +77,15 @@ disp, t_wta = timeit("fused up+WTA+LR",
 _, t_lab = timeit("speckle labels (pallas CCL)",
                   lambda d: sp.speckle_labels_pallas(d, 2.0), disp)
 lab = jax.jit(lambda d: sp.speckle_labels_pallas(d, 2.0))(disp)
-_, t_siz = timeit("component sizes (sort)",
+_, t_siz = timeit("component sizes (XLA sort)",
                   lambda l: sp.component_sizes_sorted(l).astype(jnp.float32),
                   lab)
+from stereo_depth_ruler_tpu.ops.sort_tpu import equal_value_counts_pallas
+_, t_siz2 = timeit("component sizes (bitonic pallas)",
+                   lambda l: equal_value_counts_pallas(l).astype(jnp.float32),
+                   lab)
 _, t_all = timeit("full sgbm_pallas",
                   lambda a, b: sp.sgbm_pallas(a, b, params), left, right)
 
-tot = (t_cost + t_tr1 + t_h1 + t_h2 + t_tr2 + t_d + t_wta + t_lab + t_siz)
+tot = (t_cost + t_tr1 + t_h1 + t_h2 + t_tr2 + t_d + t_wta + t_lab + t_siz2)
 print(f"{'sum of stages':36s} {tot:8.3f} ms", file=sys.stderr)
