@@ -69,6 +69,9 @@ def bench_opencv(lefts, rights, frames=30, trials=5):
     return med
 
 
+COMPILE_S = {}
+
+
 def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -101,7 +104,8 @@ def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
     t0 = time.perf_counter()
     out = fwd(lb, rb)
     jax.block_until_ready(out)
-    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+    COMPILE_S["sgbm"] = round(time.perf_counter() - t0, 1)
+    log(f"compile+first batch: {COMPILE_S['sgbm']}s")
     disp = np.asarray(out[0][0])
     log(f"valid disparity frac: {(disp >= 0).mean():.3f}")
 
@@ -148,7 +152,8 @@ def bench_tpu_full_pipeline(rig, lefts, rights, iters=6):
     t0 = time.perf_counter()
     out = fwd(lb, rb)
     jax.block_until_ready(out)
-    log(f"full-pipeline compile+first batch: {time.perf_counter() - t0:.1f}s")
+    COMPILE_S["full_pipeline"] = round(time.perf_counter() - t0, 1)
+    log(f"full-pipeline compile+first batch: {COMPILE_S['full_pipeline']}s")
 
     forward = pipe._build_forward()
 
@@ -246,6 +251,8 @@ def main():
         "value": round(tpu_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(tpu_fps / cv_fps, 3),
+        "cv_baseline_fps": round(cv_fps, 3),
+        "compile_s": COMPILE_S,
         **extra,
     }))
 

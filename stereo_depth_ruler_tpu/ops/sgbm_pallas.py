@@ -82,6 +82,15 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
     offsets). The d loop runs as fori over D/group with the body unrolled
     ``group`` times (pure fori was ~15% slower; full unroll blows up
     Mosaic compile time).
+
+    Measured r3 (720p/128, v5e, ~3.5-4 ms): this structure is at its
+    practical floor — variants tried and rejected: group-stacked stores
+    (no change), independent per-d rolls replacing the serial sh1 chain
+    (no change), full-height d-grid kernel amortizing row blocks
+    (4.6 ms, worse), fused cost+down (build_cost_down_pallas, 5.6 ms
+    vs 3.5 + 1.4 separate). Runtime is strongly sub-linear in W
+    (W=256 -> 2.0 ms), i.e. bound by per-(d, block) VMEM-resident
+    intermediate traffic, not lane math.
     """
     r = block_size // 2
     W = lt_ref.shape[1]
@@ -602,17 +611,25 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
 
 def aggregate_paths_pallas_hdw(C: jnp.ndarray, P1: float, P2: float,
                                num_paths: int = 8) -> jnp.ndarray:
-    """(H, D, W) cost -> (H, D, W) 8/4/2-path aggregated sum."""
+    """(H, D, W) cost -> (H, D, W) 8/4/2-path aggregated sum (float32).
+
+    Pass outputs and sums are forced to f32: the full 8-path sum reaches
+    ~69600 (> int16 max) — with an int16 C the accumulated volume
+    silently wrapped, producing an all-invalid map on hardware (caught
+    by the compiled parity gate, r3; interpret tests used f32 cost)."""
     assert num_paths in (2, 4, 8)
     with_diag = num_paths == 8
+    f32 = jnp.float32
     Ct = jnp.transpose(C, (2, 1, 0))              # (W, D, H)
-    S_h = (directional_pass_pallas(Ct, P1, P2, False, False)
-           + directional_pass_pallas(Ct, P1, P2, True, False))
+    S_h = (directional_pass_pallas(Ct, P1, P2, False, False, out_dtype=f32)
+           + directional_pass_pallas(Ct, P1, P2, True, False, out_dtype=f32))
     S = jnp.transpose(S_h, (2, 1, 0))
     if num_paths == 2:
         return S
-    S = S + directional_pass_pallas(C, P1, P2, False, with_diag)
-    S = S + directional_pass_pallas(C, P1, P2, True, with_diag)
+    S = S + directional_pass_pallas(C, P1, P2, False, with_diag,
+                                    out_dtype=f32)
+    S = S + directional_pass_pallas(C, P1, P2, True, with_diag,
+                                    out_dtype=f32)
     return S
 
 

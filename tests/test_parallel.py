@@ -155,3 +155,16 @@ def test_mesh_shapes():
     assert mesh.shape == {"frame": 2, "tile": 2, "disp": 2}
     with pytest.raises(ValueError):
         make_mesh(frame=16, tile=4)
+
+
+def test_pallas_tile_single_device_exact(pair, single):
+    """tile=1 mesh with the Pallas kernels must equal the unsharded
+    matcher BITWISE (r3 regression: image-rows-then-sobel border handling
+    diverged at top/bottom box rows)."""
+    from jax.experimental.pallas import tpu as pltpu
+    left, right = pair
+    mesh = make_mesh(tile=1, devices=jax.devices()[:1])
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sgbm_sharded(left, right, PARAMS, mesh,
+                                      kernel="pallas"))
+    np.testing.assert_array_equal(out, single)
