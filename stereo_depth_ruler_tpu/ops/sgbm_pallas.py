@@ -707,9 +707,17 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
             valid = lr_check(S_hwd, disp, valid, params)
     if apply_speckle and params.speckle_window_size > 0:
         dm = jnp.where(valid, disp, -1.0)
-        valid = valid & speckle_filter_pallas(dm,
-                                              params.speckle_window_size,
-                                              params.speckle_range)
+        if dm.size <= 2 ** 21:
+            valid = valid & speckle_filter_pallas(
+                dm, params.speckle_window_size, params.speckle_range)
+        else:
+            # sweep-scale maps (2560x1440 = 3.7M px): the VMEM-resident
+            # CCL kernel spills ~162 MB of registers (measured r3) and
+            # the bitonic sort exceeds VMEM — use the jnp associative-
+            # scan path, which streams through HBM
+            valid = speckle_filter(dm, valid,
+                                   params.speckle_window_size,
+                                   params.speckle_range)
     return jnp.where(valid, disp, -1.0)
 
 
@@ -995,8 +1003,12 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
     assert K % 8 == 0, (H, rows_per_step)
     idx = lambda i: (H // K - 1 - i, 0, 0)
 
+    # in-kernel LR builds ~6 (K, D, W) i32/f32 shear temporaries; above
+    # ~2M elements per slab (e.g. the 2560x1440x256 sweep) that overflows
+    # the 128 MB VMEM — fall back to the XLA winner-scatter finalize
     lr_in_kernel = (apply_lr and params.disp12_max_diff >= 0
-                    and params.min_disparity >= 0)
+                    and params.min_disparity >= 0
+                    and K * D * W <= 2 * 1024 * 1024)
     kernel = functools.partial(
         _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,

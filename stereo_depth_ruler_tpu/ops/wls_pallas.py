@@ -1,0 +1,162 @@
+"""Pallas TPU kernels for the WLS (Fast Global Smoother) post-filter.
+
+The jnp FGS (ops/wls.py) runs ~1850 whole-array XLA ops per frame
+(3 iterations x 2 axes x 2 PCR solves x ~11 rounds x ~8 arrays), each
+streaming HBM — measured 14.6 ms at 720p. The tridiagonal systems are
+independent per row, so one kernel instance solves a row slab's systems
+entirely in VMEM: per (iteration, axis) ONE pallas_call (grid over row
+slabs) runs coefficient build + PCR + one iterative-refinement step +
+PCR without touching HBM in between — ~6 launches per frame instead of
+~1850 fused-op sweeps.
+
+Numerics mirror ops/wls.tridiag_solve exactly (same operation order,
+shifts realized as roll+edge-select with identical fill values), so
+results match the jnp path bitwise (tested in tests/test_wls_pallas.py).
+
+Reference behavior anchor: cv::ximgproc::createDisparityWLSFilter
+(lambda=8000, sigma=1.1), stereo_vision/src/stereo_disparity.cpp:11-13.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fgs_filter_pallas", "wls_disparity_filter_pallas"]
+
+
+def _shift_lane(x, s: int, fill: float):
+    """x[..., i-s] for s>0 / x[..., i+|s|] for s<0; out-of-range = fill.
+    Same values as ops/wls._shift_last on the last (lane) axis."""
+    W = x.shape[-1]
+    xio = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    if s > 0:
+        if s >= W:
+            return jnp.full_like(x, fill)
+        return jnp.where(xio < s, jnp.float32(fill),
+                         pltpu.roll(x, s, x.ndim - 1))
+    s = -s
+    if s >= W:
+        return jnp.full_like(x, fill)
+    return jnp.where(xio >= W - s, jnp.float32(fill),
+                     pltpu.roll(x, W - s, x.ndim - 1))
+
+
+def _pcr(a, b, c, d):
+    """Parallel cyclic reduction along lanes; mirrors
+    ops/wls._tridiag_solve_pcr op-for-op."""
+    N = a.shape[-1]
+    s = 1
+    while s < N:
+        bm = _shift_lane(b, s, 1.0)
+        bp = _shift_lane(b, -s, 1.0)
+        alpha = -a / bm
+        gamma = -c / bp
+        b = (b + alpha * _shift_lane(c, s, 0.0)
+             + gamma * _shift_lane(a, -s, 0.0))
+        d = (d + alpha[None] * _shift_lane(d, s, 0.0)
+             + gamma[None] * _shift_lane(d, -s, 0.0))
+        a = alpha * _shift_lane(a, s, 0.0)
+        c = gamma * _shift_lane(c, -s, 0.0)
+        s *= 2
+    return d / b[None]
+
+
+def _fgs_pass_kernel(g_ref, u_ref, out_ref, *, lam: float, sigma: float,
+                     refine: int):
+    """One FGS sweep (solve along lanes) for a row slab: weights from the
+    guide slab, tridiagonal setup (ops/wls._fgs_pass_lastaxis), PCR,
+    ``refine`` refinement solves — all VMEM-resident."""
+    g = g_ref[:]                                   # (K, W)
+    u = u_ref[:]                                   # (B, K, W)
+    W = g.shape[-1]
+    diff = jnp.abs(g[:, 1:] - g[:, :-1])
+    w = jnp.exp(-diff / sigma)
+    zero = jnp.zeros_like(w[:, :1])
+    w_r = jnp.concatenate([w, zero], axis=-1)
+    w_l = jnp.concatenate([zero, w], axis=-1)
+    a = -lam * w_l
+    c = -lam * w_r
+    b = 1.0 + lam * (w_l + w_r)
+    # a[..., 0] / c[..., -1] are already 0 by construction (w_l/w_r pads)
+    sol = _pcr(a, b, c, u)
+    for _ in range(refine):
+        u_m = _shift_lane(sol, 1, 0.0)
+        u_p = _shift_lane(sol, -1, 0.0)
+        r = u - (a[None] * u_m + b[None] * sol + c[None] * u_p)
+        sol = sol + _pcr(a, b, c, r)
+    out_ref[:] = sol
+
+
+def _fgs_pass_pallas(u: jnp.ndarray, guide: jnp.ndarray, lam: float,
+                     sigma: float, refine: int = 1,
+                     rows_per_step: int = 64) -> jnp.ndarray:
+    """u: (B, H, W) RHS stack; guide: (H, W). Solves along the last axis."""
+    B, H, W = u.shape
+    K = rows_per_step
+    while H % K:
+        K //= 2
+    kernel = functools.partial(_fgs_pass_kernel, lam=float(lam),
+                               sigma=float(sigma), refine=refine)
+    return pl.pallas_call(
+        kernel,
+        grid=(H // K,),
+        in_specs=[pl.BlockSpec((K, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, K, W), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, K, W), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(guide.astype(jnp.float32), u.astype(jnp.float32))
+
+
+def fgs_filter_pallas(src: jnp.ndarray, guide: jnp.ndarray,
+                      lam: float = 8000.0, sigma_color: float = 1.1,
+                      num_iters: int = 3) -> jnp.ndarray:
+    """Drop-in fgs_filter (ops/wls.py) on Pallas kernels. ``src`` is
+    (H, W) or (B, H, W) (stacked RHS sharing one guide)."""
+    squeeze = src.ndim == 2
+    u = src[None] if squeeze else src
+    u = u.astype(jnp.float32)
+    g = guide.astype(jnp.float32)
+    gT = jnp.swapaxes(g, -1, -2)
+    denom = 4.0 ** num_iters - 1.0
+    for t in range(num_iters):
+        lam_t = float(1.5 * lam * (4.0 ** (num_iters - t - 1)) / denom)
+        u = _fgs_pass_pallas(u, g, lam_t, sigma_color)
+        u = jnp.swapaxes(
+            _fgs_pass_pallas(jnp.swapaxes(u, -1, -2), gT, lam_t,
+                             sigma_color), -1, -2)
+    return u[0] if squeeze else u
+
+
+def wls_disparity_filter_pallas(disp_left: jnp.ndarray,
+                                disp_right: jnp.ndarray,
+                                guide: jnp.ndarray,
+                                lam: float = 8000.0,
+                                sigma_color: float = 1.1,
+                                lrc_thresh: float = 24.0 / 16.0,
+                                num_iters: int = 3
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ops/wls.wls_disparity_filter with the FGS solves on Pallas."""
+    W = disp_left.shape[-1]
+    xs = jnp.arange(W)[None, :].astype(jnp.float32)
+    xr = jnp.round(xs - disp_left).astype(jnp.int32)
+    xr_ok = (xr >= 0) & (xr < W)
+    dr = jnp.take_along_axis(disp_right, jnp.clip(xr, 0, W - 1), axis=1)
+    consistent = (jnp.abs(dr - disp_left) <= lrc_thresh) & (dr >= 0)
+    conf = ((disp_left >= 0) & jnp.where(xr_ok, consistent, False)
+            ).astype(jnp.float32)
+    stacked = jnp.stack([conf * jnp.maximum(disp_left, 0.0), conf])
+    num, den = fgs_filter_pallas(stacked, guide, lam, sigma_color,
+                                 num_iters)
+    filtered = jnp.where(den > 1e-3, num / jnp.maximum(den, 1e-6), -1.0)
+    return filtered, conf

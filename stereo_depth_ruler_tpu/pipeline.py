@@ -60,6 +60,8 @@ class PipelineConfig:
     handle_missing: bool = False
     z_max_mm: float = 12000.0
     matcher: str = "auto"         # "auto" | "pallas" | "jnp"
+    remap_precision: str = "u8"   # "u8" (reference-faithful single-gather
+    #                               rectify, 4x faster) | "f32" (exact)
 
 
 class StereoPipeline:
@@ -105,8 +107,10 @@ class StereoPipeline:
                 left = bgr_to_gray(left)
                 right = bgr_to_gray(right)
             if self.rectify:
-                left = remap_bilinear(left, self.grid_l)
-                right = remap_bilinear(right, self.grid_r)
+                left = remap_bilinear(left, self.grid_l,
+                                      precision=cfg.remap_precision)
+                right = remap_bilinear(right, self.grid_r,
+                                       precision=cfg.remap_precision)
             lrect, rrect = left, right
             for _ in range(_log2(cfg.downscale)):
                 left = downscale2x(left)
