@@ -90,6 +90,7 @@ def cmd_run(args) -> int:
         batches = host_batches(src, args.batch, cursor=cursor)
     else:
         batches = src.batches(args.batch, cursor=cursor)
+    quit_requested = False
     for idxs, lefts, rights in batches:
         t0 = time.perf_counter()
         out = pipe.process_batch(lefts, rights)
@@ -109,16 +110,22 @@ def cmd_run(args) -> int:
                 lrect = np.asarray(out["left_rectified"])[k]
                 if not viewer.show_frame(lrect, disp[k],
                                          np.asarray(out["xyz"])[k]):
-                    viewer.close()
-                    print(json.dumps(log.summary()))
-                    return 0
+                    # ESC: fall through to the shared epilogue so the
+                    # overlay mp4 is finalized and the resume cursor
+                    # saved (frames up to and including this one count
+                    # as done)
+                    quit_requested = True
+                    n_done += 1
+                    break
             n_done += 1
             if args.max_frames and n_done >= args.max_frames:
                 break
         if cursor is not None and args.resume:
             cursor.save(args.resume)
-        if args.max_frames and n_done >= args.max_frames:
+        if quit_requested or (args.max_frames and n_done >= args.max_frames):
             break
+    if viewer is not None:
+        viewer.close()
     if writer is not None:
         writer.close()
     print(json.dumps(log.summary()))

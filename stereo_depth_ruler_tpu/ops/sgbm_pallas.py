@@ -1055,8 +1055,12 @@ def wta_lr_pallas(S_down: jnp.ndarray, S_up: jnp.ndarray, S_h: jnp.ndarray,
     R = rows_per_step
     assert H % R == 0
 
+    # in-kernel LR builds several (R, D, W) shear temporaries; at sweep
+    # scale (R=8, D=256, W=2560 -> ~21 MB each) they overflow the VMEM
+    # limit — same guard as up_wta_pallas, fall back to _lr_finalize
     lr_in_kernel = (apply_lr and params.disp12_max_diff >= 0
-                    and params.min_disparity >= 0)
+                    and params.min_disparity >= 0
+                    and R * D * W <= 2 * 1024 * 1024)
     kernel = functools.partial(
         _wta_lr_kernel, D=D, R=R, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,

@@ -503,7 +503,6 @@ def pipeline_step_sharded(lefts, rights, rig_Q, params: SGBMParams,
     and (N, H, W, 3) xyz, sharded over the frame axis.
     """
     from ..ops.remap import remap_bilinear
-    from ..ops.wls import wls_disparity_filter
 
     n_frame = mesh.shape[FRAME_AXIS]
     n_tile = mesh.shape[TILE_AXIS]
@@ -512,6 +511,13 @@ def pipeline_step_sharded(lefts, rights, rig_Q, params: SGBMParams,
     assert N % n_frame == 0 and H % n_tile == 0
     h_local = H // n_tile
     kernel = _resolve_kernel(kernel, n_disp, False, params)
+    if kernel == "pallas":
+        # same auto-select as StereoPipeline._pick_wls: VMEM-resident
+        # Pallas FGS on TPU, jnp FGS elsewhere (CPU-mesh tests)
+        from ..ops.wls_pallas import \
+            wls_disparity_filter_pallas as wls_disparity_filter
+    else:
+        from ..ops.wls import wls_disparity_filter
     import numpy as np
     Qj = np.asarray(rig_Q, np.float64)
 

@@ -60,8 +60,14 @@ class PipelineConfig:
     handle_missing: bool = False
     z_max_mm: float = 12000.0
     matcher: str = "auto"         # "auto" | "pallas" | "jnp"
+    wls_kernel: str = "auto"      # "auto" | "pallas" | "jnp" — Pallas FGS
+    #                               solves the tridiagonal systems VMEM-
+    #                               resident (~6 launches vs ~1850 sweeps)
     remap_precision: str = "u8"   # "u8" (reference-faithful single-gather
-    #                               rectify, 4x faster) | "f32" (exact)
+    #                               rectify, 4x faster; REQUIRES 0-255
+    #                               8-bit-range inputs — values are
+    #                               rounded/clipped) | "f32" (exact, any
+    #                               range)
 
 
 class StereoPipeline:
@@ -94,11 +100,23 @@ class StereoPipeline:
             return sgbm_pallas
         return sgbm
 
+    def _pick_wls(self):
+        """jnp FGS on CPU; VMEM-resident Pallas FGS kernels on TPU
+        (parity tested in tests/test_wls_pallas.py + the compiled gate in
+        tests/test_tpu_compiled.py)."""
+        cfg = self.config
+        if cfg.wls_kernel == "pallas" or (cfg.wls_kernel == "auto"
+                                          and jax.default_backend() != "cpu"):
+            from .ops.wls_pallas import wls_disparity_filter_pallas
+            return wls_disparity_filter_pallas
+        return wls_disparity_filter
+
     # -- stage functions ---------------------------------------------------
     def _build_forward(self):
         cfg = self.config
         rig = self.rig
         scale = 1.0 / cfg.downscale
+        wls_filter = self._pick_wls()
 
         def forward(left: jnp.ndarray, right: jnp.ndarray) -> Dict[str, jnp.ndarray]:
             left = left.astype(jnp.float32)
@@ -127,7 +145,7 @@ class StereoPipeline:
                 dd = jax.vmap(lambda a, b: matcher(a, b, cfg.sgbm))(
                     pair_l, pair_r)
                 disp_l, disp_r = dd[0], dd[1][:, ::-1]
-                disp, conf = wls_disparity_filter(disp_l, disp_r, left)
+                disp, conf = wls_filter(disp_l, disp_r, left)
             else:
                 disp = matcher(left, right, cfg.sgbm,
                                apply_lr=cfg.lr_mode != "none")
@@ -145,11 +163,30 @@ class StereoPipeline:
     def process_pair(self, left, right) -> Dict[str, jnp.ndarray]:
         """One frame pair -> disparity (matcher res), xyz (mm), confidence,
         rectified eyes (full res)."""
+        self._check_input_range(left)
         return self._forward(jnp.asarray(left), jnp.asarray(right))
 
     def process_batch(self, lefts, rights) -> Dict[str, jnp.ndarray]:
         """(N, H, W[,3]) batches, vmapped on device."""
+        self._check_input_range(lefts)
         return self._forward_batch(jnp.asarray(lefts), jnp.asarray(rights))
+
+    def _check_input_range(self, arr) -> None:
+        """remap_precision='u8' rounds/clips rectified samples to 0-255;
+        normalized (0..1) float input would be silently destroyed. Cheap
+        host-side check on numpy inputs, warns once."""
+        if (self.config.remap_precision != "u8" or not self.rectify
+                or getattr(self, "_range_warned", False)):
+            return
+        if isinstance(arr, np.ndarray) and arr.dtype.kind == "f" \
+                and arr.size and float(arr.max()) <= 1.0:
+            import warnings
+            warnings.warn(
+                "remap_precision='u8' expects 0-255 inputs but got float "
+                "data with max <= 1.0 — values will be quantized to "
+                "{0, 1}. Scale to 0-255 or set remap_precision='f32'.",
+                stacklevel=3)
+            self._range_warned = True
 
     def process_sbs(self, frame) -> Dict[str, jnp.ndarray]:
         """Side-by-side frame (H, 2W[,3]) -> split at W then process (the

@@ -48,13 +48,15 @@ class InteractiveViewer:
     WIN_PAUSED = "Paused Image"
 
     def __init__(self, num_disparities: int, csv_path=None,
-                 session: Optional[MeasurementSession] = None):
+                 session: Optional[MeasurementSession] = None,
+                 verbose: bool = False):
         import cv2
         self.cv2 = cv2
         self.dvis = DisparityVis(num_disparities)
         self.zvis = DepthVis()
         self.session = session or MeasurementSession(csv_path)
         self.num_disp = num_disparities
+        self.verbose = verbose
         self._clicks = []
         self._quit = False
 
@@ -70,8 +72,9 @@ class InteractiveViewer:
         cv2.imshow(self.WIN_RECT, left_rect.astype(np.uint8))
         cv2.imshow(self.WIN_DEPTH, depth_rgb[..., ::-1])   # RGB -> BGR
         cv2.imshow(self.WIN_OVERLAY, overlay[..., ::-1])
-        cov = depth_coverage(z, skip_cols=self.num_disp)
-        print(f"depth coverage: {cov * 100.0:.2f}%", file=sys.stderr)
+        if self.verbose:
+            cov = depth_coverage(z, skip_cols=self.num_disp)
+            print(f"depth coverage: {cov * 100.0:.2f}%", file=sys.stderr)
         key = cv2.waitKey(1) & 0xFF
         if key == 27:                                      # ESC
             return False
@@ -109,9 +112,13 @@ class InteractiveViewer:
             key = cv2.waitKey(30) & 0xFF
             if key in (ord("f"), ord("F"), ord("a"), ord("A")):
                 break
-            if key == ord("s") and self.session.csv_path:
-                self.session.save_csv()
-                print(f"saved {self.session.csv_path}", file=sys.stderr)
+            if key == ord("s"):
+                if self.session.csv_path:
+                    self.session.save_csv()
+                    print(f"saved {self.session.csv_path}", file=sys.stderr)
+                else:
+                    print("no CSV path configured (--show-csv); "
+                          "measurements not saved", file=sys.stderr)
             elif key == ord("r"):
                 self.session.reset()
                 print("session reset", file=sys.stderr)

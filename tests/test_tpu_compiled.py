@@ -49,6 +49,51 @@ def test_compiled_pallas_matches_jnp(D, fused):
     assert np.array_equal(dp, dj), f"diff frac {(dp != dj).mean():.4f}"
 
 
+def test_compiled_wls_pallas_matches_jnp():
+    """Compiled Pallas FGS/WLS (r4: wired into the pipeline) vs the jnp
+    FGS at matcher resolution. The kernels mirror ops/wls op-for-op but
+    Mosaic schedules fmas differently, so parity is bounded by the f32
+    conditioning envelope (same bound as the interpret-mode test)."""
+    from stereo_depth_ruler_tpu.ops.wls import wls_disparity_filter
+    from stereo_depth_ruler_tpu.ops.wls_pallas import \
+        wls_disparity_filter_pallas
+
+    rng = np.random.default_rng(11)
+    H, W = 360, 640
+    guide = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    dl = rng.uniform(0, 80, (H, W)).astype(np.float32)
+    dl[rng.uniform(size=dl.shape) < 0.2] = -1.0
+    dr = (dl + rng.normal(0, 0.3, dl.shape)).astype(np.float32)
+    ref_f, ref_c = jax.jit(wls_disparity_filter)(dl, dr, guide)
+    got_f, got_c = jax.jit(wls_disparity_filter_pallas)(dl, dr, guide)
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+    gf, rf = np.asarray(got_f), np.asarray(ref_f)
+    np.testing.assert_array_equal(gf < 0, rf < 0)
+    m = rf >= 0
+    np.testing.assert_allclose(gf[m], rf[m], rtol=2e-3, atol=2e-2)
+
+
+def test_compiled_pipeline_wls_kernel_parity():
+    """Full StereoPipeline forward with wls_kernel='pallas' (the TPU
+    default) vs 'jnp': disparities agree within the FGS envelope and the
+    valid masks match."""
+    from stereo_depth_ruler_tpu.pipeline import (PipelineConfig,
+                                                 StereoPipeline)
+    from stereo_depth_ruler_tpu.calib.config import StereoRig
+
+    left, right = _pair(720, 1280, seed=3)
+    rig = StereoRig.synthetic(width=1280, height=720)
+    outs = {}
+    for wk in ("pallas", "jnp"):
+        cfg = PipelineConfig(wls_kernel=wk)
+        pipe = StereoPipeline(rig, cfg, rectify=False)
+        outs[wk] = np.asarray(pipe.process_pair(left, right)["disparity"])
+    gp, gj = outs["pallas"], outs["jnp"]
+    np.testing.assert_array_equal(gp < 0, gj < 0)
+    m = gj >= 0
+    np.testing.assert_allclose(gp[m], gj[m], rtol=2e-3, atol=2e-2)
+
+
 def test_compiled_sharded_single_device_mesh():
     """kernel='pallas' sharded path on a 1-device mesh matches the
     unsharded compiled matcher (halo plumbing is the identity here)."""

@@ -86,8 +86,10 @@ def _fgs_np(src, guide, lam, sigma, num_iters):
     denom = 4.0 ** num_iters - 1.0
 
     def pass_lastaxis(u, g, lam_t):
+        # weights come from the (possibly lower-rank) guide; _thomas_np
+        # broadcasts the (H, N) coefficients over any (B, H, N) RHS stack
         w = np.exp(-np.abs(g[..., 1:] - g[..., :-1]) / sigma)
-        zero = np.zeros_like(u[..., :1])
+        zero = np.zeros_like(w[..., :1])
         w_r = np.concatenate([w, zero], axis=-1)
         w_l = np.concatenate([zero, w], axis=-1)
         a = -lam_t * w_l
@@ -98,7 +100,9 @@ def _fgs_np(src, guide, lam, sigma, num_iters):
     for t in range(num_iters):
         lam_t = 1.5 * lam * (4.0 ** (num_iters - t - 1)) / denom
         u = pass_lastaxis(u, g, lam_t)
-        u = pass_lastaxis(u.T, g.T, lam_t).T
+        u = np.swapaxes(
+            pass_lastaxis(np.swapaxes(u, -1, -2), np.swapaxes(g, -1, -2),
+                          lam_t), -1, -2)
     return u
 
 
