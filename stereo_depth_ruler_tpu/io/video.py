@@ -24,7 +24,8 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 __all__ = ["VideoSource", "SbsVideoWriter", "read_sbsv", "write_sbsv",
-           "FrameCursor", "host_segment", "host_batches"]
+           "FrameCursor", "host_segment", "host_batches",
+           "replan_segments", "recovered_batches"]
 
 _SBSV_MAGIC = b"SBSV0001"
 
@@ -213,6 +214,75 @@ def host_batches(source, batch_size: int, process_index: Optional[int] = None,
             cursor.next_frame = start + done
         if start + done >= stop:
             return
+
+
+def replan_segments(n_frames: int, cursors: dict, surviving,
+                    batch: int = 1) -> dict:
+    """Re-partition unfinished frames after a host failure (SURVEY.md §5
+    'failure detection / elastic recovery': per-frame idempotent
+    processing makes recovery natural — checkpoint the frame cursor; on
+    multi-host failure, re-shard remaining frames).
+
+    ``cursors`` maps EVERY original host id -> its last saved
+    ``FrameCursor.next_frame`` (hosts that never checkpointed should map
+    to their segment start). ``surviving`` lists the host ids still
+    alive. Returns {survivor: [(start, stop), ...]} such that every
+    unfinished frame is covered exactly once: survivors keep their own
+    remaining slice; dead hosts' remaining slices are split evenly
+    (batch-aligned) across survivors. Deterministic, so every surviving
+    host can run this locally from the shared cursor directory and agree
+    on the plan without coordination.
+    """
+    surviving = sorted(surviving)
+    n_hosts = len(cursors)
+    assert surviving and all(h in cursors for h in surviving)
+    plan = {h: [] for h in surviving}
+    orphans = []
+    for h in sorted(cursors):
+        start, stop = host_segment(n_frames, h, n_hosts, batch=batch)
+        lo = max(start, min(cursors[h], stop))
+        if lo >= stop:
+            continue
+        if h in surviving:
+            plan[h].append((lo, stop))
+        else:
+            orphans.append((lo, stop))
+    # split each orphaned interval across survivors, batch-aligned
+    for lo, stop in orphans:
+        n = stop - lo
+        per = -(-n // len(surviving))
+        per = -(-per // batch) * batch
+        for k, h in enumerate(surviving):
+            a = min(lo + k * per, stop)
+            b = min(a + per, stop)
+            if a < b:
+                plan[h].append((a, b))
+    return plan
+
+
+def recovered_batches(source, batch_size: int, plan_intervals,
+                      cursor: Optional[FrameCursor] = None) -> Iterator:
+    """Iterate batches over this host's re-planned intervals (the output
+    of replan_segments()[host]); the cursor tracks progress through the
+    concatenated intervals for further restarts."""
+    src = source if isinstance(source, VideoSource) else VideoSource(source)
+    done_total = 0
+    for (start, stop) in plan_intervals:
+        if cursor is not None and cursor.next_frame > start:
+            start = max(start, cursor.next_frame)
+        if start >= stop:
+            continue
+        done = 0
+        for idxs, lefts, rights in src.batches(batch_size, start=start):
+            keep = (idxs >= 0) & (idxs < stop)
+            idxs = np.where(keep, idxs, -1)
+            yield idxs, lefts, rights
+            done += int(keep.sum())
+            if cursor is not None:
+                cursor.next_frame = start + done
+            if start + done >= stop:
+                break
+        done_total += done
 
 
 class SbsVideoWriter:

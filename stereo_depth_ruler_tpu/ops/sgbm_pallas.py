@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .sgbm import SGBMParams, _bt_minmax, lr_check, sobel_clip, speckle_filter, wta
 
 __all__ = ["build_cost_volume_pallas", "build_cost_down_pallas",
-           "directional_pass_pallas",
+           "directional_pass_pallas", "transpose_dhw_to_wdh_pallas",
+           "transpose_vol_pallas", "transpose_leading_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
            "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas",
            "sgbm_tile_pallas"]
@@ -140,11 +141,16 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
 
 def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
                              params: SGBMParams, blk: int = 16,
-                             out_dtype=jnp.float32) -> jnp.ndarray:
-    """(H, W) Sobel-clipped eyes -> (H, D, W) box-aggregated BT cost.
+                             out_dtype=jnp.float32,
+                             layout: str = "hdw") -> jnp.ndarray:
+    """(H, W) Sobel-clipped eyes -> box-aggregated BT cost volume.
 
-    Matches box_filter_volume(bt_cost_volume(...)) bit-for-bit (transposed
-    layout)."""
+    Matches box_filter_volume(bt_cost_volume(...)) bit-for-bit.
+    ``layout='hdw'`` returns (H, D, W) (scan layout, costs one XLA
+    leading transpose); ``layout='dhw'`` returns the kernel's native
+    (D, H, W) d-major output with NO transpose — the r4 fused chain
+    consumes it directly (the vertical passes leading-transpose each
+    slab in VMEM, which is cheaper than a full HBM round-trip)."""
     H, W = lt.shape
     D = params.num_disparities
     r = params.block_size // 2
@@ -218,6 +224,8 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
+    if layout == "dhw":
+        return C_dhw
     # (D, H, W) -> (H, D, W): XLA's leading-dims transpose copy (a
     # dedicated Pallas permute kernel measured the same 2.4 ms — both are
     # DMA-bound at this block shape)
@@ -409,8 +417,13 @@ def build_cost_down_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
 
 def _transpose_kernel(x_ref, o_ref, *, db: int):
     x = x_ref[:]                                   # (A, db, b_blk)
+    if x.dtype.itemsize == 2:
+        # Mosaic can't shape-cast 16-bit vectors through the unit middle
+        # dim jnp.stack introduces — widen for the in-VMEM shuffle (DMA
+        # in/out stays 16-bit)
+        x = x.astype(jnp.int32)
     o_ref[:] = jnp.stack([jnp.transpose(x[:, d, :], (1, 0))
-                          for d in range(db)], axis=1)
+                          for d in range(db)], axis=1).astype(o_ref.dtype)
 
 
 def _transpose_leading_kernel(x_ref, o_ref):
@@ -443,34 +456,69 @@ def transpose_leading_pallas(x: jnp.ndarray, a_blk: int = 8,
     )(x)
 
 
-def transpose_vol_pallas(x: jnp.ndarray, b_blk: int = 128,
+def _transpose_dhw_kernel(x_ref, o_ref, *, db: int):
+    x = x_ref[:]                                   # (db, A, b_blk)
+    if x.dtype.itemsize == 2:
+        x = x.astype(jnp.int32)   # see _transpose_kernel
+    o_ref[:] = jnp.stack([jnp.transpose(x[i], (1, 0))
+                          for i in range(db)], axis=1).astype(o_ref.dtype)
+
+
+def transpose_dhw_to_wdh_pallas(x: jnp.ndarray, b_blk: int = 128,
+                                d_blk: int = 8) -> jnp.ndarray:
+    """(D, H, W) d-major cost volume -> (W, D, H) horizontal-scan layout.
+
+    Feeds the W-scan DP passes straight from the cost kernel's native
+    output, replacing the T1+T2 pair (d-major -> H-major -> W-major, two
+    full HBM round-trips at ~22% bandwidth each) with ONE permute pass:
+    reads (d_blk, H, b_blk) blocks (256 B contiguous runs), XLU-
+    transposes each d-plane, writes (b_blk, d_blk, H) blocks
+    (d_blk*H contiguous runs per lane-tile of W)."""
+    D, H, W = x.shape
+    if W % 128:
+        b_blk = W
+    else:
+        while W % b_blk:
+            b_blk //= 2
+    while D % d_blk:
+        d_blk //= 2
+    kernel = functools.partial(_transpose_dhw_kernel, db=d_blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(W // b_blk, D // d_blk),
+        in_specs=[pl.BlockSpec((d_blk, H, b_blk), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b_blk, d_blk, H), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W, D, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x)
+
+
+def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
                          d_blk: int = 8) -> jnp.ndarray:
     """(A, D, B) -> (B, D, A) for the 0.24 GB cost/path volumes.
 
-    XLA's transpose of the int16 volume runs at ~22% of HBM bandwidth
-    (2.4 ms measured at 720p/128); this kernel reads (A, d_blk, b_blk)
-    blocks (256 B contiguous runs), transposes each d-plane on the XLU
-    (measured ~free vs. the DMA), and writes (b_blk, d_blk, A) blocks
-    (1.4 KB runs) — ~2x faster. Used for the W-major volume the
-    horizontal DP passes scan."""
+    XLA's transpose of the int16 volume runs at ~22% of HBM bandwidth;
+    this kernel reads (a_blk, d_blk, B) blocks, transposes each d-plane
+    on the XLU (widened to i32 in VMEM — Mosaic rejects 16-bit unit-dim
+    shape casts), and writes (B, d_blk, a_blk) blocks. The A axis is
+    blocked (the B lane axis often has no 128-divisor, e.g. H=720, and
+    must stay whole); blocks stay ~1.4 MB int16. Used to bring the
+    horizontal passes' (W, D, H) sum back to the (H, D, W) scan layout."""
     A, D, B = x.shape
-    # Mosaic block constraint: last-two block dims divisible by (8, 128)
-    # or equal to the array dims — fall back to un-blocked axes when the
-    # extent has no 128-multiple divisor (e.g. H=720)
-    if B % 128:
-        b_blk = B
-    else:
-        while B % b_blk:
-            b_blk //= 2
+    while A % a_blk:
+        a_blk //= 2
     while D % d_blk:
         d_blk //= 2
     kernel = functools.partial(_transpose_kernel, db=d_blk)
     return pl.pallas_call(
         kernel,
-        grid=(B // b_blk, D // d_blk),
-        in_specs=[pl.BlockSpec((A, d_blk, b_blk), lambda i, j: (0, j, i),
+        grid=(A // a_blk, D // d_blk),
+        in_specs=[pl.BlockSpec((a_blk, d_blk, B), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((b_blk, d_blk, A), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((B, d_blk, a_blk), lambda i, j: (0, j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, A), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -485,7 +533,8 @@ def transpose_vol_pallas(x: jnp.ndarray, b_blk: int = 128,
 
 def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
                      accumulate: bool, D: int, K: int, reverse: bool,
-                     out_offset: float = 0.0):
+                     out_offset: float = 0.0, c_dmajor: bool = False,
+                     emit_c: bool = False):
     """Volume layout (N, D, W): one (K, D, W) slab per sequential grid
     step, rows iterated in scan order inside the kernel (K-row slabs cut
     the sequential grid from N steps to N/K — per-step pipeline overhead
@@ -494,9 +543,22 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
     With ``accumulate`` an extra input (aliased to the output) carries the
     running path sum; the kernel adds into it, so down+up (and fwd+bwd)
     pairs produce one summed volume with no separate XLA add pass.
+
+    With ``c_dmajor`` the cost input streams in the cost kernel's native
+    (D, N, W) layout as (D, K, W) slabs; one leading-dims transpose per
+    slab (sublane-copy in VMEM) replaces the full-volume HBM transpose.
+    With ``emit_c`` the kernel additionally writes the transposed
+    (K, D, W) cost slab to a second output — the H-major volume the
+    fused up+WTA kernel consumes — for one aligned HBM write (~0.3 ms)
+    instead of a separate transpose pass or a per-slab transpose in the
+    up kernel (measured +0.69 ms there at K=8).
     """
-    if accumulate:
+    if accumulate and emit_c:
+        a_ref, out_ref, co_ref, lv_ref, ldr_ref, ldl_ref = refs
+    elif accumulate:
         a_ref, out_ref, lv_ref, ldr_ref, ldl_ref = refs
+    elif emit_c:
+        out_ref, co_ref, lv_ref, ldr_ref, ldl_ref = refs
     else:
         out_ref, lv_ref, ldr_ref, ldl_ref = refs
     i = pl.program_id(0)
@@ -508,9 +570,13 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
             ldr_ref[:] = jnp.zeros_like(ldr_ref)
             ldl_ref[:] = jnp.zeros_like(ldl_ref)
 
+    c_slab = (jnp.transpose(c_ref[:], (1, 0, 2)) if c_dmajor else None)
+    if emit_c:
+        co_ref[:] = c_slab
+
     for j in range(K):
         jj = K - 1 - j if reverse else j
-        c = c_ref[jj].astype(jnp.float32)          # (D, W)
+        c = (c_slab[jj] if c_dmajor else c_ref[jj]).astype(jnp.float32)
         W = c.shape[1]
 
         def update(Lprev):
@@ -545,7 +611,9 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             reverse: bool, with_diag: bool,
                             out_dtype=None, acc: jnp.ndarray = None,
                             rows_per_step: int = 0,
-                            out_offset: float = 0.0) -> jnp.ndarray:
+                            out_offset: float = 0.0,
+                            c_dmajor: bool = False,
+                            emit_c: bool = False):
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
@@ -554,12 +622,19 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
     is added into the output in-kernel (donated/aliased), fusing the
     down+up path-sum accumulation into the pass itself.
 
+    ``c_dmajor``: C arrives as (D, N, W) (the cost kernel's native
+    layout); the output/acc stay (N, D, W). Saves the full-volume
+    leading transpose between cost build and the vertical passes.
+
     rows_per_step (K) defaults to the largest divisor of N whose
     (K, D, W) slab stays <= ~6 MB: per-grid-step fixed overhead (~2-3 us
     x N/K sequential steps) dominated the r2 passes at K=4 (N=720/1280
     meant 180-320 steps; ~1 ms/pass of bubbles at 720p/128).
     """
-    N, D, W = C.shape
+    if c_dmajor:
+        D, N, W = C.shape
+    else:
+        N, D, W = C.shape
     out_dtype = out_dtype or C.dtype
     K = rows_per_step
     if not K:
@@ -575,10 +650,12 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
     else:
         idx = lambda i: (i, 0, 0)
 
+    assert not emit_c or c_dmajor, "emit_c requires the d-major C input"
     kernel = functools.partial(_dir_pass_kernel, P1=float(P1), P2=float(P2),
                                with_diag=with_diag, accumulate=acc is not None,
                                D=D, K=K, reverse=reverse,
-                               out_offset=out_offset)
+                               out_offset=out_offset, c_dmajor=c_dmajor,
+                               emit_c=emit_c)
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
         scratch += [pltpu.VMEM((D, W), jnp.float32),
@@ -589,14 +666,24 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                     pltpu.VMEM((8, 128), jnp.float32)]
 
     spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
+    if c_dmajor:
+        c_spec = pl.BlockSpec((D, K, W), lambda i: (0, idx(i)[0], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        c_spec = spec
     ins = [C] if acc is None else [C, acc]
     aliases = {} if acc is None else {1: 0}
+    out_specs = spec
+    out_shape = jax.ShapeDtypeStruct((N, D, W), out_dtype)
+    if emit_c:
+        out_specs = (spec, spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((N, D, W), C.dtype))
     return pl.pallas_call(
         kernel,
         grid=(N // K,),
-        in_specs=[spec] * len(ins),
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((N, D, W), out_dtype),
+        in_specs=[c_spec] + [spec] * (len(ins) - 1),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
@@ -672,15 +759,31 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
     # L_r <= 8700, fused 3-path sums <= 26100), so int16 volumes halve
     # HBM traffic with zero numeric change (compute stays f32 in-kernel)
     P1, P2 = params.P1, params.P2
-    C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
-                                 out_dtype=volume_dtype)
     if fused_wta and params.num_paths >= 4:
         # NOTE: build_cost_down_pallas (fused cost+down) measured 5.6 ms
         # vs 3.5 + 1.4 for the separate kernels at 720p/128 (the
         # in-kernel (D, blk, W)->(blk, D, W) relayout costs more than
         # the XLA transpose + extra volume pass it saves) — kept for the
         # tile path experiments but not used here.
+        #
+        # r4 relayout experiments (all bit-parity-tested, measured on
+        # v5e at 720p/128, same session A/B):
+        #   - d-major cost + per-slab VMEM leading transpose in the
+        #     vertical passes (c_dmajor) + emit_c H-major re-emission:
+        #     14.55 ms matcher vs 12.61 ms for this chain — the XLA
+        #     compiler already composes the cost kernel's (D,H,W) output
+        #     transpose with the (H,D,W)->(W,D,H) hop into ONE copy for
+        #     the horizontal branch, so the "saved" transpose was
+        #     already elided, and the in-kernel slab transposes +
+        #     emit_c write cost more than the remaining T1.
+        #   - transpose_vol_pallas for the S_h back-transpose: 2.17 ms
+        #     vs 1.40 XLA (H=720 lane axis has no 128-divisor).
+        # The H-major chain below therefore remains the product path;
+        # the d-major kernels stay available for tile/sweep shapes where
+        # the tradeoff may differ.
         with_diag = params.num_paths == 8
+        C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
+                                     out_dtype=volume_dtype)
         Ct = jnp.transpose(C, (2, 1, 0))
         hf = directional_pass_pallas(Ct, P1, P2, False, False)
         S_h = jnp.transpose(
@@ -700,6 +803,8 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                  apply_lr=apply_lr, with_diag=with_diag)
         valid = disp >= 0
     else:
+        C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
+                                     out_dtype=volume_dtype)
         S = aggregate_paths_pallas_hdw(C, P1, P2, params.num_paths)
         S_hwd = jnp.transpose(S, (0, 2, 1))
         disp, valid = wta(S_hwd, params)
@@ -921,7 +1026,7 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
 def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
                    uniq: int, quantize_16: bool, disp12: int = -1,
-                   sd_offset: float = 0.0):
+                   sd_offset: float = 0.0, c_dmajor: bool = False):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
     each row's L_up (+diagonals) is summed with the S_down and S_h slabs
@@ -942,10 +1047,11 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
             ldr_ref[:] = jnp.zeros_like(ldr_ref)
             ldl_ref[:] = jnp.zeros_like(ldl_ref)
 
+    c_slab = (jnp.transpose(c_ref[:], (1, 0, 2)) if c_dmajor else None)
     rows = []
     for j in range(K):
         jj = K - 1 - j                             # bottom-up inside slab
-        c = c_ref[jj].astype(jnp.float32)          # (D, W)
+        c = (c_slab[jj] if c_dmajor else c_ref[jj]).astype(jnp.float32)
         W = c.shape[1]
 
         def update(Lprev):
@@ -987,15 +1093,22 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
                   S_h: jnp.ndarray = None,
                   params: SGBMParams = SGBMParams(), rows_per_step: int = 8,
                   apply_lr: bool = True, with_diag: bool = True,
-                  sd_offset: float = 0.0) -> jnp.ndarray:
+                  sd_offset: float = 0.0,
+                  c_dmajor: bool = False) -> jnp.ndarray:
     """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the partial
     path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible
     with directional_pass_pallas(reverse=True) + wta_lr_pallas. ``S_h``
     may be None when S_down already accumulates the horizontal sum;
     ``sd_offset`` undoes the bias shift applied when storing the
     accumulated down+horizontal volume in int16 (its range ~[0, 43500]
-    exceeds int16 max; a -range/2 shift recenters it exactly)."""
-    H, D, W = C.shape
+    exceeds int16 max; a -range/2 shift recenters it exactly).
+    ``c_dmajor``: C arrives (D, H, W) (cost-kernel native layout),
+    leading-transposed per slab in VMEM — saves the full-volume HBM
+    transpose."""
+    if c_dmajor:
+        D, H, W = C.shape
+    else:
+        H, D, W = C.shape
     K = rows_per_step
     while H % K:
         K //= 2
@@ -1014,7 +1127,7 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
         disp12=params.disp12_max_diff if lr_in_kernel else -1,
-        sd_offset=sd_offset)
+        sd_offset=sd_offset, c_dmajor=c_dmajor)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
@@ -1026,12 +1139,17 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
 
     ins = [C, S_down] if S_h is None else [C, S_down, S_h]
     spec = pl.BlockSpec((K, D, W), idx, memory_space=pltpu.VMEM)
+    if c_dmajor:
+        c_spec = pl.BlockSpec((D, K, W), lambda i: (0, H // K - 1 - i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        c_spec = spec
     mspec = pl.BlockSpec((K, W), lambda i: (H // K - 1 - i, 0),
                          memory_space=pltpu.VMEM)
     disp, valid, packed = pl.pallas_call(
         kernel,
         grid=(H // K,),
-        in_specs=[spec] * len(ins),
+        in_specs=[c_spec] + [spec] * (len(ins) - 1),
         out_specs=(mspec, mspec, mspec),
         out_shape=(jax.ShapeDtypeStruct((H, W), jnp.float32),
                    jax.ShapeDtypeStruct((H, W), jnp.float32),

@@ -31,6 +31,12 @@ def available() -> bool:
         import cv2
     except Exception:
         return False
+    import os
+    if sys.platform.startswith("linux") and not (
+            os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        # headless: some HighGUI builds abort() (not raise) inside
+        # namedWindow, so don't even probe without a display server
+        return False
     try:
         cv2.namedWindow("__sdr_probe__", cv2.WINDOW_NORMAL)
         cv2.destroyWindow("__sdr_probe__")

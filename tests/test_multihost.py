@@ -79,3 +79,51 @@ def test_make_global_mesh_shapes():
     assert mesh.shape["disp"] == 2
     with pytest.raises(ValueError):
         make_global_mesh(tile=3, disp=1)         # 8 % 3 != 0
+
+
+def test_replan_segments_covers_unfinished_exactly_once():
+    """Host-failure re-shard (SURVEY §5 recovery): every unfinished frame
+    lands on exactly one survivor; finished frames are never redone."""
+    from stereo_depth_ruler_tpu.io.video import host_segment, replan_segments
+
+    n_frames, n_hosts, batch = 103, 4, 4
+    # host 1 died mid-way, host 3 died before checkpointing
+    cursors = {}
+    for h in range(n_hosts):
+        s, e = host_segment(n_frames, h, n_hosts, batch=batch)
+        cursors[h] = {0: e, 1: s + 9, 2: s + 4, 3: s}[h]
+    plan = replan_segments(n_frames, cursors, surviving=[0, 2], batch=batch)
+
+    covered = []
+    for h, intervals in plan.items():
+        for a, b in intervals:
+            covered.extend(range(a, b))
+    expected = []
+    for h in range(n_hosts):
+        s, e = host_segment(n_frames, h, n_hosts, batch=batch)
+        expected.extend(range(min(max(cursors[h], s), e), e))
+    assert sorted(covered) == sorted(expected)
+    assert len(covered) == len(set(covered))
+    # determinism: every survivor computes the identical plan
+    assert plan == replan_segments(n_frames, cursors, surviving=[2, 0],
+                                   batch=batch)
+
+
+def test_recovered_batches_processes_plan(tmp_path):
+    from stereo_depth_ruler_tpu.io.video import (FrameCursor,
+                                                 recovered_batches,
+                                                 replan_segments)
+
+    n_frames = 24
+    frames = np.stack([np.full((8, 16), i, np.uint8)
+                       for i in range(n_frames)])
+    src = VideoSource(frames, gray=False)
+    cursors = {0: 8, 1: 14}          # host 1 (segment [12,24)) died at 14
+    plan = replan_segments(n_frames, cursors, surviving=[0], batch=2)
+    cur = FrameCursor(source="x")
+    seen = []
+    for idxs, lefts, rights in recovered_batches(src, 2, plan[0],
+                                                 cursor=cur):
+        seen.extend(int(i) for i in idxs if i >= 0)
+    assert seen == list(range(8, 12)) + list(range(14, 24))
+    assert cur.next_frame == 24

@@ -62,6 +62,34 @@ def test_full_matcher_parity(imgs):
     np.testing.assert_array_equal(d_ref, d_p)
 
 
+def test_dmajor_chain_parity(cost):
+    """r4 relayout: d-major cost streaming (c_dmajor) + the dedicated
+    (D,H,W)->(W,D,H) permute kernel are bit-identical to the H-major
+    chain."""
+    lt, rt, _ = cost
+    with pltpu.force_tpu_interpret_mode():
+        C_d = sp.build_cost_volume_pallas(lt, rt, PARAMS, blk=8,
+                                          layout="dhw")
+        C_h = sp.build_cost_volume_pallas(lt, rt, PARAMS, blk=8)
+        np.testing.assert_array_equal(
+            np.asarray(C_h), np.transpose(np.asarray(C_d), (1, 0, 2)))
+        Ct = np.asarray(sp.transpose_dhw_to_wdh_pallas(C_d))
+        np.testing.assert_array_equal(
+            Ct, np.transpose(np.asarray(C_d), (2, 0, 1)))
+        S_ref = sp.directional_pass_pallas(C_h, PARAMS.P1, PARAMS.P2,
+                                           False, True,
+                                           out_dtype=jnp.float32)
+        S_dm = sp.directional_pass_pallas(C_d, PARAMS.P1, PARAMS.P2,
+                                          False, True,
+                                          out_dtype=jnp.float32,
+                                          c_dmajor=True)
+        np.testing.assert_array_equal(np.asarray(S_ref), np.asarray(S_dm))
+        u_ref = sp.up_wta_pallas(C_h, S_ref, None, PARAMS, apply_lr=True)
+        u_dm = sp.up_wta_pallas(C_d, S_ref, None, PARAMS, apply_lr=True,
+                                c_dmajor=True)
+        np.testing.assert_array_equal(np.asarray(u_ref), np.asarray(u_dm))
+
+
 def test_directional_pass_reverse(cost):
     """up pass == flipud(down pass on flipped volume)."""
     _, _, C_ref = cost

@@ -53,27 +53,39 @@ right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
 lt = jax.jit(lambda a: sobel_clip(a, params.pre_filter_cap))(left)
 rt = jax.jit(lambda a: sobel_clip(a, params.pre_filter_cap))(right)
 
-C, t_cost = timeit("cost_build (H,D,W) int16",
-                   lambda a, b: sp.build_cost_volume_pallas(a, b, params,
-                                                            out_dtype=jnp.int16),
-                   lt, rt)
-Ct, t_tr1 = timeit("transpose (H,D,W)->(W,D,H) [XLA]",
+Cd, t_cost = timeit("cost_build (D,H,W) int16 [no T]",
+                    lambda a, b: sp.build_cost_volume_pallas(
+                        a, b, params, out_dtype=jnp.int16, layout="dhw"),
+                    lt, rt)
+C, t_costT = timeit("cost_build (H,D,W) int16 [+XLA T]",
+                    lambda a, b: sp.build_cost_volume_pallas(
+                        a, b, params, out_dtype=jnp.int16),
+                    lt, rt)
+Ct, t_tr1 = timeit("transpose (D,H,W)->(W,D,H) [pallas]",
+                   sp.transpose_dhw_to_wdh_pallas, Cd)
+_, t_tr1x = timeit("transpose (H,D,W)->(W,D,H) [XLA]",
                    lambda c: jnp.transpose(c, (2, 1, 0)), C)
+_, t_tr1y = timeit("transpose (D,H,W)->(W,D,H) [XLA]",
+                   lambda c: jnp.transpose(c, (2, 0, 1)), Cd)
 P1, P2 = params.P1, params.P2
 hf, t_h1 = timeit("dir pass fwd (W grid, no diag)",
                   lambda c: sp.directional_pass_pallas(c, P1, P2, False, False), Ct)
-_, t_h2 = timeit("dir pass bwd+acc (W grid)",
-                 lambda c, a: sp.directional_pass_pallas(c, P1, P2, True,
-                                                         False, acc=a), Ct, hf)
-Sh, t_tr2 = timeit("transpose back [XLA]",
-                   lambda c: jnp.transpose(c, (2, 1, 0)), Ct)
+hb, t_h2 = timeit("dir pass bwd+acc (W grid)",
+                  lambda c, a: sp.directional_pass_pallas(c, P1, P2, True,
+                                                          False, acc=a), Ct, hf)
+Sh, t_tr2 = timeit("transpose back (W,D,H)->(H,D,W) [pallas]",
+                   sp.transpose_vol_pallas, hb)
+_, t_tr2x = timeit("transpose back [XLA]",
+                   lambda c: jnp.transpose(c, (2, 1, 0)), hb)
 bias = sp._wta_bias(params, True, jnp.int16)
-Sdh, t_d = timeit("dir pass down+acc+bias (H grid, diag)",
+Sdh, t_d = timeit("dir pass down+acc+bias (d-major C)",
                   lambda c, a: sp.directional_pass_pallas(
-                      c, P1, P2, False, True, acc=a, out_offset=-bias), C, Sh)
-disp, t_wta = timeit("fused up+WTA+LR",
+                      c, P1, P2, False, True, acc=a, out_offset=-bias,
+                      c_dmajor=True), Cd, Sh)
+disp, t_wta = timeit("fused up+WTA+LR (d-major C)",
                      lambda c, s: sp.up_wta_pallas(c, s, None, params,
-                                                   sd_offset=bias), C, Sdh)
+                                                   sd_offset=bias,
+                                                   c_dmajor=True), Cd, Sdh)
 _, t_lab = timeit("speckle labels (pallas CCL)",
                   lambda d: sp.speckle_labels_pallas(d, 2.0), disp)
 lab = jax.jit(lambda d: sp.speckle_labels_pallas(d, 2.0))(disp)
@@ -84,8 +96,12 @@ from stereo_depth_ruler_tpu.ops.sort_tpu import equal_value_counts_pallas
 _, t_siz2 = timeit("component sizes (bitonic pallas)",
                    lambda l: equal_value_counts_pallas(l).astype(jnp.float32),
                    lab)
+from stereo_depth_ruler_tpu.ops.sort_tpu import speckle_keep_pallas
+_, t_keep = timeit("speckle keep (packed bitonic)",
+                   lambda l: speckle_keep_pallas(l, 200).astype(jnp.float32),
+                   lab)
 _, t_all = timeit("full sgbm_pallas",
                   lambda a, b: sp.sgbm_pallas(a, b, params), left, right)
 
-tot = (t_cost + t_tr1 + t_h1 + t_h2 + t_tr2 + t_d + t_wta + t_lab + t_siz2)
-print(f"{'sum of stages':36s} {tot:8.3f} ms", file=sys.stderr)
+tot = (t_cost + t_tr1 + t_h1 + t_h2 + t_tr2 + t_d + t_wta + t_lab + t_keep)
+print(f"{'sum of stages (product path)':36s} {tot:8.3f} ms", file=sys.stderr)
