@@ -91,9 +91,30 @@ def cmd_run(args) -> int:
     else:
         batches = src.batches(args.batch, cursor=cursor)
     quit_requested = False
-    for idxs, lefts, rights in batches:
-        t0 = time.perf_counter()
-        out = pipe.process_batch(lefts, rights)
+    t_first = time.perf_counter()
+
+    def _pipelined(batches):
+        """Software-pipelined dispatch: batch N+1 is decoded (host) and
+        dispatched while batch N's device results are being forced —
+        JAX dispatch is async, so decode, host postprocessing, and TPU
+        compute overlap (SURVEY §2.10 sequence/pipeline parallel; the
+        reference's loop is fully serial, stereo_displayer.cpp:145-198).
+        """
+        pending = None
+        for idxs, lefts, rights in batches:
+            t0 = time.perf_counter()
+            out = pipe.process_batch(lefts, rights)     # async
+            # snapshot cursor AT dispatch: the source iterator runs a
+            # batch ahead, so saving its live value would skip frames
+            # whose results were never consumed on a crash
+            snap = cursor.next_frame if cursor is not None else None
+            if pending is not None:
+                yield pending
+            pending = (idxs, out, t0, snap)
+        if pending is not None:
+            yield pending
+
+    for idxs, out, t0, cursor_snap in _pipelined(batches):
         disp = np.asarray(out["disparity"])
         z = np.asarray(out["xyz"])[..., 2]
         wall = (time.perf_counter() - t0) * 1000 / len(idxs)
@@ -121,14 +142,28 @@ def cmd_run(args) -> int:
             if args.max_frames and n_done >= args.max_frames:
                 break
         if cursor is not None and args.resume:
+            live = cursor.next_frame
+            cursor.next_frame = cursor_snap
             cursor.save(args.resume)
+            cursor.next_frame = live
         if quit_requested or (args.max_frames and n_done >= args.max_frames):
             break
+    else:
+        if cursor is not None and args.resume:
+            # source exhausted and every batch consumed — record the
+            # live (fully processed) position
+            cursor.save(args.resume)
     if viewer is not None:
         viewer.close()
     if writer is not None:
         writer.close()
-    print(json.dumps(log.summary()))
+    summary = log.summary()
+    elapsed = time.perf_counter() - t_first
+    if n_done and elapsed > 0:
+        # decode + dispatch + postprocess, wall-clock end to end — the
+        # number the reference's live loop would show (SURVEY §2.10)
+        summary["video_end_to_end_fps"] = round(n_done / elapsed, 3)
+    print(json.dumps(summary))
     return 0
 
 

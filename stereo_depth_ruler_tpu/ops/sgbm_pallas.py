@@ -55,6 +55,7 @@ __all__ = ["build_cost_volume_pallas", "build_cost_down_pallas",
            "transpose_vol_pallas", "transpose_leading_pallas",
            "aggregate_paths_pallas", "aggregate_paths_pallas_hdw",
            "wta_lr_pallas", "up_wta_pallas", "sgbm_pallas",
+           "sgbm_pair_pallas",
            "sgbm_tile_pallas"]
 
 _BIG = 1e9
@@ -68,8 +69,8 @@ _BIGI = 2 ** 28   # "infinity" for int32 DP (headroom: + P2 stays < 2^31)
 
 def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
                      rt_ref, rmin_ref, rmax_ref,
-                     out_ref, *, D: int, blk: int, block_size: int,
-                     out_dtype, group: int = 8):
+                     out_ref, out2_ref=None, *, D: int, blk: int,
+                     block_size: int, out_dtype, group: int = 8):
     """One program computes out rows [i*blk, (i+1)*blk) for all D.
 
     Row inputs are pre-padded by ``r`` rows top+bottom on the host, so the
@@ -130,8 +131,18 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
     def body_group(g, carry):
         rt, rmin, rmax = carry
         for j in range(group):
-            out_ref[pl.ds(g * group + j, 1)] = \
-                one_d(rt, rmin, rmax)[None].astype(out_dtype)
+            gd = g * group + j
+            acc = one_d(rt, rmin, rmax)
+            out_ref[pl.ds(gd, 1)] = acc[None].astype(out_dtype)
+            if out2_ref is not None:
+                # right-matcher shear: C_R(y, x, d) = C_L(y, x+d, d)
+                # (BT cost is symmetric in its two pixels, so the right
+                # view's cost plane is the left's shifted by d). One
+                # dynamic lane-roll per plane; wrap columns x > W-1-d
+                # are garbage, overwritten by the band fix-up
+                # (sgbm_pair_pallas).
+                out2_ref[pl.ds(gd, 1)] = pltpu.roll(
+                    acc, (W - gd) % W, 1)[None].astype(out_dtype)
             rt, rmin, rmax = sh1(rt), sh1(rmin), sh1(rmax)
         return rt, rmin, rmax
 
@@ -142,7 +153,8 @@ def _cost_box_kernel(lt_ref, lmin_ref, lmax_ref,
 def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
                              params: SGBMParams, blk: int = 16,
                              out_dtype=jnp.float32,
-                             layout: str = "hdw") -> jnp.ndarray:
+                             layout: str = "hdw",
+                             emit_sheared: bool = False):
     """(H, W) Sobel-clipped eyes -> box-aggregated BT cost volume.
 
     Matches box_filter_volume(bt_cost_volume(...)) bit-for-bit.
@@ -203,32 +215,39 @@ def build_cost_volume_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
         return pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel3(lt_r, lmin_r, lmax_r, rt_r, rmin_r, rmax_r, out_ref):
+    def kernel3(lt_r, lmin_r, lmax_r, rt_r, rmin_r, rmax_r, out_ref,
+                *out2):
         _cost_box_kernel(lt_r.at[0], lmin_r.at[0], lmax_r.at[0],
                          rt_r.at[0], rmin_r.at[0], rmax_r.at[0],
-                         out_ref, D=D, blk=blk,
+                         out_ref, *out2, D=D, blk=blk,
                          block_size=params.block_size, out_dtype=out_dtype,
                          group=group)
 
     # (D, blk, W) output blocks (leading-dim d stores — Mosaic rejects
     # strided int16 stores on the sublane-adjacent dim, so the d-major
-    # layout is written here and permuted to (H, D, W) by the dedicated
-    # leading-dims transpose kernel, ~3x cheaper than XLA's transpose)
-    C_dhw = pl.pallas_call(
+    # layout is written here and permuted to (H, D, W) by XLA's
+    # leading-dims transpose copy)
+    dspec = pl.BlockSpec((D, blk, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    dshape = jax.ShapeDtypeStruct((D, H, W), out_dtype)
+    out = pl.pallas_call(
         kernel3,
         grid=grid,
         in_specs=[spec3(W)] * 6,
-        out_specs=pl.BlockSpec((D, blk, W), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), out_dtype),
+        out_specs=(dspec, dspec) if emit_sheared else dspec,
+        out_shape=(dshape, dshape) if emit_sheared else dshape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
+    if emit_sheared:
+        C_dhw, R_dhw = out
+        if layout == "dhw":
+            return C_dhw, R_dhw
+        return (jnp.transpose(C_dhw, (1, 0, 2)),
+                jnp.transpose(R_dhw, (1, 0, 2)))
+    C_dhw = out
     if layout == "dhw":
         return C_dhw
-    # (D, H, W) -> (H, D, W): XLA's leading-dims transpose copy (a
-    # dedicated Pallas permute kernel measured the same 2.4 ms — both are
-    # DMA-bound at this block shape)
     return jnp.transpose(C_dhw, (1, 0, 2))
 
 
@@ -781,26 +800,9 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
         # The H-major chain below therefore remains the product path;
         # the d-major kernels stay available for tile/sweep shapes where
         # the tradeoff may differ.
-        with_diag = params.num_paths == 8
         C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
                                      out_dtype=volume_dtype)
-        Ct = jnp.transpose(C, (2, 1, 0))
-        hf = directional_pass_pallas(Ct, P1, P2, False, False)
-        S_h = jnp.transpose(
-            directional_pass_pallas(Ct, P1, P2, True, False, acc=hf),
-            (2, 1, 0))
-        # max possible down(+diag)+horizontal sum: (n_down + 2 horizontal)
-        # paths, each bounded by boxed-BT max (25 * 4 * cap) + P2
-        bias = _wta_bias(params, with_diag, volume_dtype)
-        if bias is not None:
-            S_dh = directional_pass_pallas(C, P1, P2, False, with_diag,
-                                           acc=S_h, out_offset=-bias)
-            disp = up_wta_pallas(C, S_dh, None, params, apply_lr=apply_lr,
-                                 with_diag=with_diag, sd_offset=bias)
-        else:
-            S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
-            disp = up_wta_pallas(C, S_down, S_h, params,
-                                 apply_lr=apply_lr, with_diag=with_diag)
+        disp = _fused_aggregate_wta(C, params, apply_lr, volume_dtype)
         valid = disp >= 0
     else:
         C = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
@@ -824,6 +826,119 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                    params.speckle_window_size,
                                    params.speckle_range)
     return jnp.where(valid, disp, -1.0)
+
+
+
+
+def _fused_aggregate_wta(C: jnp.ndarray, params: SGBMParams,
+                         apply_lr: bool, volume_dtype,
+                         mirror_lr: bool = False) -> jnp.ndarray:
+    """Fused 8/4-path aggregation + WTA chain on an (H, D, W) cost
+    volume: 2 horizontal passes on the W-major transpose, down pass
+    accumulating S_h (bias-shifted into int16 range), fused up+WTA(+LR).
+    ``mirror_lr`` flips the LR-consistency directions for a right-view
+    cost volume in un-mirrored orientation (sgbm_pair_pallas) — the DP
+    path SUM itself is mirror-equivariant (fwd/bwd and the two diagonals
+    pair up under x-mirror), so only the LR stage needs the flag."""
+    with_diag = params.num_paths == 8
+    P1, P2 = params.P1, params.P2
+    Ct = jnp.transpose(C, (2, 1, 0))
+    hf = directional_pass_pallas(Ct, P1, P2, False, False)
+    S_h = jnp.transpose(
+        directional_pass_pallas(Ct, P1, P2, True, False, acc=hf),
+        (2, 1, 0))
+    # max possible down(+diag)+horizontal sum: (n_down + 2 horizontal)
+    # paths, each bounded by boxed-BT max (25 * 4 * cap) + P2
+    bias = _wta_bias(params, with_diag, volume_dtype)
+    if bias is not None:
+        S_dh = directional_pass_pallas(C, P1, P2, False, with_diag,
+                                       acc=S_h, out_offset=-bias)
+        return up_wta_pallas(C, S_dh, None, params, apply_lr=apply_lr,
+                             with_diag=with_diag, sd_offset=bias,
+                             mirror_lr=mirror_lr)
+    S_down = directional_pass_pallas(C, P1, P2, False, with_diag)
+    return up_wta_pallas(C, S_down, S_h, params,
+                         apply_lr=apply_lr, with_diag=with_diag,
+                         mirror_lr=mirror_lr)
+
+
+def _apply_speckle_pallas(disp: jnp.ndarray, valid, params: SGBMParams):
+    """Shared speckle stage: VMEM CCL + sort sizes up to 2^21 px, jnp
+    associative-scan fallback at sweep scale."""
+    dm = jnp.where(valid, disp, -1.0)
+    if dm.size <= 2 ** 21:
+        return valid & speckle_filter_pallas(
+            dm, params.speckle_window_size, params.speckle_range)
+    return speckle_filter(dm, valid, params.speckle_window_size,
+                          params.speckle_range)
+
+
+def sgbm_pair_pallas(left: jnp.ndarray, right: jnp.ndarray,
+                     params: SGBMParams = SGBMParams(),
+                     apply_lr: bool = True, apply_speckle: bool = True,
+                     cost_blk: int = 0,
+                     volume_dtype=jnp.int16):
+    """Left AND right disparity maps from ONE shared cost volume.
+
+    Bit-identical to ops.sgbm.compute_disparity_pair with the pallas
+    matcher (tested), but ~a full cost-build cheaper: since the BT cost
+    is symmetric in its two pixels, the right matcher's volume is the
+    left's sheared by d — C_R(y, x, d) = C_L(y, x+d, d) — so the cost
+    kernel emits both volumes in one pass (emit_sheared: one dynamic
+    lane-roll per d-plane). Columns where the shear identity breaks
+    (box-filter edge replication differs: x+d near W-1, plus the r
+    left-edge columns) are recomputed exactly with the jnp reference
+    cost ops on the mirrored sobel images (kernel==jnp parity is
+    tested), and the right volume stays in UN-mirrored orientation:
+    the 8-path DP sum is mirror-equivariant, so only the in-kernel
+    LR check needs flipped directions (mirror_lr).
+
+    Right-matcher construction anchor: cv::ximgproc::createRightMatcher
+    (stereo_vision/src/stereo_disparity.cpp:10, SURVEY.md §2.4).
+    """
+    assert params.min_disparity == 0, "pair path requires min_disparity=0"
+    assert params.num_paths >= 4
+    cap = params.pre_filter_cap
+    lt = sobel_clip(left.astype(jnp.float32), cap)
+    rt = sobel_clip(right.astype(jnp.float32), cap)
+    H, W = lt.shape
+    D = params.num_disparities
+    r = params.block_size // 2
+    if not cost_blk:
+        itemsize = jnp.dtype(volume_dtype).itemsize
+        cost_blk = 48
+        while (cost_blk > 8 and cost_blk * D * W * itemsize
+               > 32 * 1024 * 1024):
+            cost_blk //= 2
+    C_L, C_Rs = build_cost_volume_pallas(lt, rt, params, blk=cost_blk,
+                                         out_dtype=volume_dtype,
+                                         emit_sheared=True)
+
+    # band fix-up: mirrored-build values where shear != mirrored build
+    from .sgbm import bt_cost_volume, box_filter_volume
+    lt_m = (2.0 * cap - rt)[:, ::-1]
+    rt_m = (2.0 * cap - lt)[:, ::-1]
+    blocksz = params.block_size
+    B1 = min(D + 2 * r + 4, W)           # right-edge region incl. wrap
+    B1c = min(B1 + r + 2, W)             # + sobel/BT/box context margin
+    band1 = box_filter_volume(
+        bt_cost_volume(lt_m[:, :B1c], rt_m[:, :B1c], D), blocksz)[:, :B1]
+    band1 = jnp.swapaxes(band1[:, ::-1, :], 1, 2).astype(volume_dtype)
+    s0 = max(0, W - (D + r + 8))         # left-edge r columns
+    band2 = box_filter_volume(
+        bt_cost_volume(lt_m[:, s0:], rt_m[:, s0:], D), blocksz)[:, -r:]
+    band2 = jnp.swapaxes(band2[:, ::-1, :], 1, 2).astype(volume_dtype)
+    C_R = C_Rs.at[:, :, W - B1:].set(band1).at[:, :, :r].set(band2)
+
+    disp_l = _fused_aggregate_wta(C_L, params, apply_lr, volume_dtype)
+    disp_r = _fused_aggregate_wta(C_R, params, apply_lr, volume_dtype,
+                                  mirror_lr=True)
+    if apply_speckle and params.speckle_window_size > 0:
+        vl = _apply_speckle_pallas(disp_l, disp_l >= 0, params)
+        vr = _apply_speckle_pallas(disp_r, disp_r >= 0, params)
+        disp_l = jnp.where(vl, disp_l, -1.0)
+        disp_r = jnp.where(vr, disp_r, -1.0)
+    return disp_l, disp_r
 
 
 def _wta_bias(params: SGBMParams, with_diag: bool, volume_dtype):
@@ -891,7 +1006,7 @@ def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
 
 
 def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
-              quantize_16: bool, disp12: int = -1):
+              quantize_16: bool, disp12: int = -1, mirror_lr: bool = False):
     """(R, D, W) summed path volume -> (disp, valid, packed) maps.
 
     WTA + uniqueness + subpixel in one vectorized body; shared by the
@@ -931,7 +1046,13 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     if quantize_16:
         disp = jnp.round(disp * 16.0) / 16.0
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
+    # no-partner columns: the secondary view lies at x-d (left matcher)
+    # or x+d (mirror_lr: right matcher in un-mirrored orientation)
+    if mirror_lr:
+        valid = valid * jnp.where(xio + d_star_i + min_disp <= W - 1,
+                                  1.0, 0.0)
+    else:
+        valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
 
     PK = 1 << int(D + min_disp).bit_length()
     packed = s0.astype(jnp.int32) * PK + d_star_i + min_disp
@@ -945,31 +1066,47 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
         # restricted to source columns whose winner is exactly q+md.
         # sh[r, q, x] = packed[r, x+q+md]: left-roll row q by q (+md),
         # built in log2(D) whole-block rolls via q's bit decomposition.
+        # ``mirror_lr`` runs the whole check in mirrored-x semantics
+        # (for sgbm_pair_pallas's un-mirrored right-matcher volume,
+        # where the secondary view lies at x+d instead of x-d): every
+        # roll direction and boundary convention flips; the min-
+        # reductions and per-pixel selects are mirror-invariant.
+        def lroll(a, k):
+            return pltpu.roll(a, (k % W) if mirror_lr
+                              else (W - k % W) % W, 2)
+
+        def rroll(a, k):
+            return pltpu.roll(a, (W - k % W) % W if mirror_lr
+                              else (k % W), 2)
+
         sh = jnp.broadcast_to(packed[:, None, :], (R, D, W))
         if md % W:
-            sh = pltpu.roll(sh, W - (md % W), 2)
+            sh = lroll(sh, md)
         k = 1
         while k < D:
-            sh = jnp.where((dio & k) != 0, pltpu.roll(sh, W - (k % W), 2),
-                           sh)
+            sh = jnp.where((dio & k) != 0, lroll(sh, k), sh)
             k *= 2
-        okm = ((sh & (PK - 1)) == dio + md) & (xio3 + dio + md < W)
+        src_ok = (xio3 >= dio + md) if mirror_lr \
+            else (xio3 + dio + md < W)
+        okm = ((sh & (PK - 1)) == dio + md) & src_ok
         disp2p = jnp.min(jnp.where(okm, sh, BIGP), axis=1)        # (R, W)
         disp2 = jnp.where(disp2p < BIGP,
                           (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
-        # --- consistency at x_r = x - round(disp): shr[r, q, x] =
+        # --- consistency at x_r = x -/+ round(disp): shr[r, q, x] =
         # disp2[r, x-q-md] (right-roll by q+md), select row rd-md.
         rd = jnp.round(disp)                                     # (R, W)
         shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
         if md % W:
-            shr = pltpu.roll(shr, md % W, 2)
+            shr = rroll(shr, md)
         k = 1
         while k < D:
-            shr = jnp.where((dio & k) != 0, pltpu.roll(shr, k % W, 2), shr)
+            shr = jnp.where((dio & k) != 0, rroll(shr, k), shr)
             k *= 2
-        # x_r < 0 -> consistent by convention (sentinel -2); x_r > W-1
-        # impossible for md >= 0
-        shr = jnp.where(xio3 < dio + md, jnp.float32(-2.0), shr)
+        # out-of-image x_r -> consistent by convention (sentinel -2):
+        # x_r < 0 for the normal orientation, x_r > W-1 mirrored
+        oob = (xio3 + dio + md > W - 1) if mirror_lr \
+            else (xio3 < dio + md)
+        shr = jnp.where(oob, jnp.float32(-2.0), shr)
         rsel = (rd - md)[:, None, :]
         cand = jnp.min(jnp.where(dio.astype(jnp.float32) == rsel,
                                  shr, _BIG), axis=1)             # (R, W)
@@ -1026,7 +1163,8 @@ def _wta_lr_kernel(sd_ref, su_ref, sh_ref, disp_ref, val_ref, pk_ref, *,
 def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
                    uniq: int, quantize_16: bool, disp12: int = -1,
-                   sd_offset: float = 0.0, c_dmajor: bool = False):
+                   sd_offset: float = 0.0, c_dmajor: bool = False,
+                   mirror_lr: bool = False):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
     each row's L_up (+diagonals) is summed with the S_down and S_h slabs
@@ -1083,7 +1221,7 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
     S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
     disp, valid, packed = _wta_body(S, D=D, R=K, min_disp=min_disp,
                                     uniq=uniq, quantize_16=quantize_16,
-                                    disp12=disp12)
+                                    disp12=disp12, mirror_lr=mirror_lr)
     disp_ref[:] = disp
     val_ref[:] = valid
     pk_ref[:] = packed
@@ -1094,7 +1232,8 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
                   params: SGBMParams = SGBMParams(), rows_per_step: int = 8,
                   apply_lr: bool = True, with_diag: bool = True,
                   sd_offset: float = 0.0,
-                  c_dmajor: bool = False) -> jnp.ndarray:
+                  c_dmajor: bool = False,
+                  mirror_lr: bool = False) -> jnp.ndarray:
     """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the partial
     path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible
     with directional_pass_pallas(reverse=True) + wta_lr_pallas. ``S_h``
@@ -1127,7 +1266,7 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
         disp12=params.disp12_max_diff if lr_in_kernel else -1,
-        sd_offset=sd_offset, c_dmajor=c_dmajor)
+        sd_offset=sd_offset, c_dmajor=c_dmajor, mirror_lr=mirror_lr)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
@@ -1158,6 +1297,8 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*ins)
+    assert not (mirror_lr and apply_lr and not lr_in_kernel), \
+        "mirror_lr requires the in-kernel LR path (slab <= 2^21 elems)"
     return _lr_finalize(disp, valid, packed, params,
                         apply_lr and not lr_in_kernel)
 

@@ -60,6 +60,10 @@ class PipelineConfig:
     handle_missing: bool = False
     z_max_mm: float = 12000.0
     matcher: str = "auto"         # "auto" | "pallas" | "jnp"
+    pair_mode: str = "auto"       # "auto" | "shared" | "stacked" — shared
+    #                               reuses ONE cost volume for both
+    #                               matchers via the BT shear (pallas
+    #                               only; bit-identical, tested)
     wls_kernel: str = "auto"      # "auto" | "pallas" | "jnp" — Pallas FGS
     #                               solves the tridiagonal systems VMEM-
     #                               resident (~6 launches vs ~1850 sweeps)
@@ -100,6 +104,21 @@ class StereoPipeline:
             return sgbm_pallas
         return sgbm
 
+    def _use_shared_pair(self) -> bool:
+        """Shared-cost pair path: pallas matcher + min_disparity 0 +
+        in-kernel-LR-compatible shapes (sgbm_pair_pallas preconditions)."""
+        cfg = self.config
+        if cfg.pair_mode == "stacked":
+            return False
+        is_pallas = (cfg.matcher == "pallas"
+                     or (cfg.matcher == "auto"
+                         and jax.default_backend() != "cpu"))
+        ok = (is_pallas and self._aggregator is None
+              and cfg.sgbm.min_disparity == 0 and cfg.sgbm.num_paths >= 4)
+        if cfg.pair_mode == "shared":
+            assert ok, "pair_mode='shared' needs pallas + min_disparity=0"
+        return ok
+
     def _pick_wls(self):
         """jnp FGS on CPU; VMEM-resident Pallas FGS kernels on TPU
         (parity tested in tests/test_wls_pallas.py + the compiled gate in
@@ -136,15 +155,28 @@ class StereoPipeline:
 
             matcher = self._matcher
             if cfg.use_wls and cfg.lr_mode == "right_matcher":
-                # left + right matcher as ONE batched (2, H, W) call —
-                # the Pallas kernels fold the batch into their grid, so
-                # the two matchers share each launch instead of running
-                # ~6 kernel dispatches twice sequentially
-                pair_l = jnp.stack([left, right[:, ::-1]])
-                pair_r = jnp.stack([right, left[:, ::-1]])
-                dd = jax.vmap(lambda a, b: matcher(a, b, cfg.sgbm))(
-                    pair_l, pair_r)
-                disp_l, disp_r = dd[0], dd[1][:, ::-1]
+                # the mirror_lr WTA needs the in-kernel LR path, whose
+                # (8, D, W) slab must fit the VMEM shear temporaries
+                lr_ok = (8 * cfg.sgbm.num_disparities * left.shape[-1]
+                         <= 2 ** 21)
+                if self._use_shared_pair() and lr_ok:
+                    # ONE cost volume serves both matchers via the BT
+                    # shear C_R(y,x,d) = C_L(y,x+d,d) (sgbm_pair_pallas;
+                    # bit-identical to the stacked path, tested) —
+                    # saves a full cost build per frame pair
+                    from .ops.sgbm_pallas import sgbm_pair_pallas
+                    disp_l, disp_r = sgbm_pair_pallas(left, right,
+                                                      cfg.sgbm)
+                else:
+                    # left + right matcher as ONE batched (2, H, W)
+                    # call — the Pallas kernels fold the batch into
+                    # their grid, so the two matchers share each launch
+                    # instead of running ~6 dispatches twice
+                    pair_l = jnp.stack([left, right[:, ::-1]])
+                    pair_r = jnp.stack([right, left[:, ::-1]])
+                    dd = jax.vmap(lambda a, b: matcher(a, b, cfg.sgbm))(
+                        pair_l, pair_r)
+                    disp_l, disp_r = dd[0], dd[1][:, ::-1]
                 disp, conf = wls_filter(disp_l, disp_r, left)
             else:
                 disp = matcher(left, right, cfg.sgbm,

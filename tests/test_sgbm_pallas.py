@@ -90,6 +90,26 @@ def test_dmajor_chain_parity(cost):
         np.testing.assert_array_equal(np.asarray(u_ref), np.asarray(u_dm))
 
 
+@pytest.mark.parametrize("shape", [(64, 256, 32), (48, 160, 16)])
+def test_pair_shared_cost_parity(shape):
+    """sgbm_pair_pallas (shared sheared cost volume + mirror_lr WTA) is
+    bit-identical to compute_disparity_pair with independent matchers
+    (the r4 right-matcher reuse, VERDICT item 5)."""
+    from stereo_depth_ruler_tpu.ops.sgbm import compute_disparity_pair
+    H, W, D = shape
+    params = SGBMParams(num_disparities=D, block_size=5,
+                        speckle_window_size=50, speckle_range=2)
+    rng = np.random.default_rng(hash(shape) % 1000)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(np.roll(np.asarray(left), -5, axis=1)
+                        + rng.normal(0, 2, (H, W)).astype(np.float32))
+    dl_ref, dr_ref = compute_disparity_pair(left, right, params)
+    with pltpu.force_tpu_interpret_mode():
+        dl, dr = sp.sgbm_pair_pallas(left, right, params)
+    np.testing.assert_array_equal(np.asarray(dl), np.asarray(dl_ref))
+    np.testing.assert_array_equal(np.asarray(dr), np.asarray(dr_ref))
+
+
 def test_directional_pass_reverse(cost):
     """up pass == flipud(down pass on flipped volume)."""
     _, _, C_ref = cost

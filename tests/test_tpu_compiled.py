@@ -49,6 +49,31 @@ def test_compiled_pallas_matches_jnp(D, fused):
     assert np.array_equal(dp, dj), f"diff frac {(dp != dj).mean():.4f}"
 
 
+def test_compiled_pair_shared_cost():
+    """Compiled sgbm_pair_pallas (shared sheared cost volume, mirror_lr
+    WTA) matches the stacked two-matcher construction bit-exactly."""
+    import jax.numpy as jnp
+    from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams
+    from stereo_depth_ruler_tpu.ops.sgbm_pallas import (sgbm_pair_pallas,
+                                                        sgbm_pallas)
+
+    params = SGBMParams(num_disparities=128, block_size=5,
+                        speckle_window_size=200, speckle_range=2)
+    left, right = _pair(720, 1280, seed=7)
+
+    def stacked(l, r):
+        pair_l = jnp.stack([l, r[:, ::-1]])
+        pair_r = jnp.stack([r, l[:, ::-1]])
+        dd = jax.vmap(lambda a, b: sgbm_pallas(a, b, params))(pair_l,
+                                                              pair_r)
+        return dd[0], dd[1][:, ::-1]
+
+    o1 = jax.jit(stacked)(left, right)
+    o2 = jax.jit(lambda l, r: sgbm_pair_pallas(l, r, params))(left, right)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+    np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
+
+
 def test_compiled_wls_pallas_matches_jnp():
     """Compiled Pallas FGS/WLS (r4: wired into the pipeline) vs the jnp
     FGS at matcher resolution. The kernels mirror ops/wls op-for-op but

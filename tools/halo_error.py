@@ -65,7 +65,11 @@ def main():
         diff = np.abs(out[both] - exact[both])
         mismatch_valid = float((out >= 0).mean() - (exact >= 0).mean())
         print(json.dumps({
-            "halo": halo, "h_local": H // args.tiles,
+            # full operating point in every line (VERDICT r3 weak 4:
+            # HALO_r03.jsonl couldn't prove what config it ran at)
+            "height": H, "width": W, "num_disp": D,
+            "tiles": args.tiles, "halo": halo,
+            "h_local": H // args.tiles,
             "agree_exact_frac": float((diff == 0).mean()),
             "agree_1px_frac": float((diff <= 1.0).mean()),
             "max_abs_diff_px": float(diff.max()) if diff.size else 0.0,
