@@ -116,7 +116,7 @@ def cmd_run(args) -> int:
 
     for idxs, out, t0, cursor_snap in _pipelined(batches):
         disp = np.asarray(out["disparity"])
-        z = np.asarray(out["xyz"])[..., 2]
+        z = np.asarray(out["xyz"])[..., 2, :, :]
         wall = (time.perf_counter() - t0) * 1000 / len(idxs)
         for k, fi in enumerate(idxs):
             if fi < 0:
@@ -129,8 +129,9 @@ def cmd_run(args) -> int:
                 writer.write(overlay_heat(lrect, dvis(disp[k])))
             if viewer is not None:
                 lrect = np.asarray(out["left_rectified"])[k]
-                if not viewer.show_frame(lrect, disp[k],
-                                         np.asarray(out["xyz"])[k]):
+                if not viewer.show_frame(
+                        lrect, disp[k],
+                        pipe.xyz_hwc(np.asarray(out["xyz"])[k])):
                     # ESC: fall through to the shared epilogue so the
                     # overlay mp4 is finalized and the resume cursor
                     # saved (frames up to and including this one count
@@ -184,7 +185,7 @@ def cmd_measure(args) -> int:
     if out is None:
         print(f"no frame {args.frame} in {args.video}", file=sys.stderr)
         return 1
-    xyz = np.asarray(out["xyz"])
+    xyz = pipe.xyz_hwc(out["xyz"])
     sess = MeasurementSession(args.csv)
     for pair in args.points:
         x1, y1, x2, y2 = (int(v) for v in pair.split(","))

@@ -138,23 +138,83 @@ def fgs_filter_pallas(src: jnp.ndarray, guide: jnp.ndarray,
     return u[0] if squeeze else u
 
 
+_GBIG = 1e9   # python float: jnp scalars become captured consts in-kernel
+
+
+def _shift_gather_kernel(v_ref, s_ref, o_ref, *, D: int, K: int,
+                         fill: float):
+    """out[y, x] = v[y, x - s(y, x)] for s in [0, D); out-of-range s or
+    x - s < 0 -> ``fill``. The variable-distance lane gather is realized
+    as log2(D) conditional whole-block rolls of a (K, D, W) broadcast
+    (bit decomposition of the shift) + a min-select on the shift row —
+    pure VPU; jnp.take_along_axis's generic TPU gather measured 10.7 ms
+    at 720p vs ~2 ms for this kernel."""
+    v = v_ref[:]                                   # (K, W)
+    s = s_ref[:]                                   # (K, W) int32
+    W = v.shape[-1]
+    dio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 1)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 2)
+    sh = jnp.broadcast_to(v[:, None, :], (K, D, W))
+    k = 1
+    while k < D:
+        sh = jnp.where((dio & k) != 0, pltpu.roll(sh, k % W, 2), sh)
+        k *= 2
+    sel = (dio == s[:, None, :]) & (xio >= dio)
+    out = jnp.min(jnp.where(sel, sh, jnp.float32(_GBIG)), axis=1)
+    o_ref[:] = jnp.where(out < _GBIG * 0.5, out, jnp.float32(fill))
+
+
+def shift_gather_pallas(values: jnp.ndarray, shift: jnp.ndarray,
+                        max_shift: int, fill: float,
+                        rows_per_step: int = 8) -> jnp.ndarray:
+    """(H, W) per-element left-shift gather: out[y,x] = values[y, x-s]."""
+    H, W = values.shape
+    D = 1
+    while D < max_shift + 1:
+        D *= 2
+    K = rows_per_step
+    while H % K:
+        K //= 2
+    kernel = functools.partial(_shift_gather_kernel, D=D, K=K,
+                               fill=float(fill))
+    spec = pl.BlockSpec((K, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(H // K,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(values.astype(jnp.float32), shift.astype(jnp.int32))
+
+
 def wls_disparity_filter_pallas(disp_left: jnp.ndarray,
                                 disp_right: jnp.ndarray,
                                 guide: jnp.ndarray,
                                 lam: float = 8000.0,
                                 sigma_color: float = 1.1,
                                 lrc_thresh: float = 24.0 / 16.0,
-                                num_iters: int = 3
+                                num_iters: int = 3,
+                                max_disp: int = 256
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """ops/wls.wls_disparity_filter with the FGS solves on Pallas."""
+    """ops/wls.wls_disparity_filter with the FGS solves AND the
+    LR-consistency disparity gather on Pallas. ``max_disp`` bounds the
+    shift-gather's roll depth — any value >= the true disparity range
+    is exact (default covers the 256-disp sweep; the pipeline passes
+    its actual num_disparities)."""
+    # shift s = x - round(x - dl) (NOT round(dl): jnp.round is
+    # half-to-even, whose parity depends on x, so the two differ at
+    # exact .5 fractions — this form matches the jnp reference bitwise)
     W = disp_left.shape[-1]
-    xs = jnp.arange(W)[None, :].astype(jnp.float32)
-    xr = jnp.round(xs - disp_left).astype(jnp.int32)
-    xr_ok = (xr >= 0) & (xr < W)
-    dr = jnp.take_along_axis(disp_right, jnp.clip(xr, 0, W - 1), axis=1)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    s = (xs - jnp.round(xs - disp_left)).astype(jnp.int32)
+    # s outside [0, max_disp) or x - s < 0 -> fill -1e9: fails both the
+    # |dr - dl| <= thresh and dr >= 0 tests, reproducing the
+    # take_along_axis + xr_ok masking of the jnp reference exactly
+    dr = shift_gather_pallas(disp_right, s, max_disp, fill=-1e9)
     consistent = (jnp.abs(dr - disp_left) <= lrc_thresh) & (dr >= 0)
-    conf = ((disp_left >= 0) & jnp.where(xr_ok, consistent, False)
-            ).astype(jnp.float32)
+    conf = ((disp_left >= 0) & consistent).astype(jnp.float32)
     stacked = jnp.stack([conf * jnp.maximum(disp_left, 0.0), conf])
     num, den = fgs_filter_pallas(stacked, guide, lam, sigma_color,
                                  num_iters)

@@ -60,10 +60,14 @@ class PipelineConfig:
     handle_missing: bool = False
     z_max_mm: float = 12000.0
     matcher: str = "auto"         # "auto" | "pallas" | "jnp"
-    pair_mode: str = "auto"       # "auto" | "shared" | "stacked" — shared
-    #                               reuses ONE cost volume for both
-    #                               matchers via the BT shear (pallas
-    #                               only; bit-identical, tested)
+    pair_mode: str = "stacked"    # "stacked" | "shared" — shared reuses
+    #                               ONE cost volume for both matchers via
+    #                               the BT shear (sgbm_pair_pallas;
+    #                               bit-identical, tested) but measured
+    #                               ~4% slower than the batched stacked
+    #                               path on v5e (r4): batch amortization
+    #                               across every stage beats the saved
+    #                               cost build
     wls_kernel: str = "auto"      # "auto" | "pallas" | "jnp" — Pallas FGS
     #                               solves the tridiagonal systems VMEM-
     #                               resident (~6 launches vs ~1850 sweeps)
@@ -108,15 +112,14 @@ class StereoPipeline:
         """Shared-cost pair path: pallas matcher + min_disparity 0 +
         in-kernel-LR-compatible shapes (sgbm_pair_pallas preconditions)."""
         cfg = self.config
-        if cfg.pair_mode == "stacked":
+        if cfg.pair_mode != "shared":
             return False
         is_pallas = (cfg.matcher == "pallas"
                      or (cfg.matcher == "auto"
                          and jax.default_backend() != "cpu"))
         ok = (is_pallas and self._aggregator is None
               and cfg.sgbm.min_disparity == 0 and cfg.sgbm.num_paths >= 4)
-        if cfg.pair_mode == "shared":
-            assert ok, "pair_mode='shared' needs pallas + min_disparity=0"
+        assert ok, "pair_mode='shared' needs pallas + min_disparity=0"
         return ok
 
     def _pick_wls(self):
@@ -127,7 +130,10 @@ class StereoPipeline:
         if cfg.wls_kernel == "pallas" or (cfg.wls_kernel == "auto"
                                           and jax.default_backend() != "cpu"):
             from .ops.wls_pallas import wls_disparity_filter_pallas
-            return wls_disparity_filter_pallas
+            # bound the LR shift-gather's roll depth to the actual range
+            return partial(wls_disparity_filter_pallas,
+                           max_disp=cfg.sgbm.num_disparities
+                           + cfg.sgbm.min_disparity)
         return wls_disparity_filter
 
     # -- stage functions ---------------------------------------------------
@@ -183,18 +189,28 @@ class StereoPipeline:
                                apply_lr=cfg.lr_mode != "none")
                 conf = (disp >= 0).astype(jnp.float32)
 
+            # chw layout on device: an (H, W, 3) stack pads its 3-lane
+            # minor dim to 128 in TPU tiling (42x the bytes, ~3 ms at
+            # 720p); convert on host with xyz_hwc (zero-copy view)
             xyz = reproject_to_3d(disp, rig.Q, scale=scale,
                                   quirk_compat=cfg.quirk_compat,
-                                  handle_missing=cfg.handle_missing)
+                                  handle_missing=cfg.handle_missing,
+                                  layout="chw")
             return {"disparity": disp, "xyz": xyz, "confidence": conf,
                     "left_rectified": lrect, "right_rectified": rrect}
 
         return forward
 
     # -- public API --------------------------------------------------------
+    @staticmethod
+    def xyz_hwc(xyz_chw) -> np.ndarray:
+        """Device (..., 3, H, W) xyz -> host (..., H, W, 3) numpy view."""
+        return np.moveaxis(np.asarray(xyz_chw), -3, -1)
+
     def process_pair(self, left, right) -> Dict[str, jnp.ndarray]:
-        """One frame pair -> disparity (matcher res), xyz (mm), confidence,
-        rectified eyes (full res)."""
+        """One frame pair -> disparity (matcher res), xyz (mm, shape
+        (3, H, W) on device — use xyz_hwc for the (H, W, 3) numpy view),
+        confidence, rectified eyes (full res)."""
         self._check_input_range(left)
         return self._forward(jnp.asarray(left), jnp.asarray(right))
 

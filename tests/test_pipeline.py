@@ -40,7 +40,7 @@ def test_pipeline_accuracy_vs_gt(rig, pair):
     assert sel.mean() > 0.85
     assert err.mean() < 0.5
     # depth: Z = f*B/d
-    z = np.asarray(out["xyz"])[..., 2]
+    z = np.asarray(out["xyz"])[..., 2, :, :]
     zt = rig.focal_rectified * rig.baseline / np.maximum(gt, 1e-3)
     zsel = sel & np.isfinite(z[:, D:])
     zerr = np.abs(z[:, D:][zsel] - zt[:, D:][zsel]) / zt[:, D:][zsel]
@@ -82,7 +82,7 @@ def test_pipeline_downscale_matches_reference_flow(rig, pair):
     err = np.abs(disp[:, 32:][sel] - gt_half[:, 32:][sel])
     assert err.mean() < 0.6
     # metric depth must agree with full-res geometry
-    z = np.asarray(out["xyz"])[..., 2]
+    z = np.asarray(out["xyz"])[..., 2, :, :]
     zt = rig.focal_rectified * rig.baseline / np.maximum(gt_half * 2, 1e-3)
     zsel = sel & np.isfinite(z[:, 32:])
     zerr = np.abs(z[:, 32:][zsel] - zt[:, 32:][zsel]) / zt[:, 32:][zsel]

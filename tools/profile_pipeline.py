@@ -84,9 +84,17 @@ def main():
 
     (dl, dr), t_both = timeit("matcher x2 (batched L+R)", both, lr, rr)
 
-    _, t_wls = timeit("WLS filter (FGS)",
+    _, t_wls = timeit("WLS filter (FGS, jnp)",
                       lambda d1, d2, g: wls_disparity_filter(d1, d2, g),
                       dl, dr, lr)
+    from stereo_depth_ruler_tpu.ops.wls_pallas import \
+        wls_disparity_filter_pallas
+    _, t_wlsp = timeit("WLS filter (FGS, pallas)",
+                       lambda d1, d2, g: wls_disparity_filter_pallas(
+                           d1, d2, g), dl, dr, lr)
+    from stereo_depth_ruler_tpu.ops.sgbm_pallas import sgbm_pair_pallas
+    _, t_pair = timeit("matcher x2 (shared-cost pair)",
+                       lambda a, b: sgbm_pair_pallas(a, b, params), lr, rr)
     disp = jax.jit(lambda d1, d2, g: wls_disparity_filter(d1, d2, g))(
         dl, dr, lr)[0]
 
