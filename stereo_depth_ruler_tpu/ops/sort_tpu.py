@@ -144,6 +144,120 @@ def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
     return key, val
 
 
+
+
+# ---------------------------------------------------------------------------
+# fused single-launch bitonic sorts (dynamic-shift rolls, SMEM schedule)
+# ---------------------------------------------------------------------------
+
+
+def _exchange_table(n2: int):
+    ex = []
+    stage = 2
+    while stage <= n2:
+        k = stage // 2
+        while k >= 1:
+            ex.append((stage, k))
+            k //= 2
+        stage *= 2
+    return ex
+
+
+def _partner_dyn(a, k, L: int):
+    """val[f ^ k] for a TRACED power-of-two k (lane rolls for k < L,
+    sublane rolls above) — the dynamic-shift form of _xor_partner."""
+    R = a.shape[0]
+    lio = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    rio = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) * L
+
+    def lane(_):
+        fwd = pltpu.roll(a, (L - k) % L, 1)
+        bwd = pltpu.roll(a, k % L, 1)
+        return jnp.where((lio & k) == 0, fwd, bwd)
+
+    def subl(_):
+        kr = k // L
+        fwd = pltpu.roll(a, (R - kr) % R, 0)
+        bwd = pltpu.roll(a, kr % R, 0)
+        return jnp.where((rio & k) == 0, fwd, bwd)
+
+    return jax.lax.cond(k < L, lane, subl, 0)
+
+
+def _fused_sort_kernel(st_ref, kk_ref, k_ref, v_ref, ko_ref, vo_ref, *,
+                       n2: int, L: int, with_val: bool):
+    """One bitonic compare-exchange per grid step; the (R, L) arrays stay
+    VMEM-resident across the whole grid (same-block accumulation), and
+    the (stage, k) schedule streams from SMEM — ONE launch instead of
+    ~21 chunked calls (the staged form re-streams 8-16 MB of HBM per
+    chunk and pays ~60 launch overheads per frame)."""
+    i = pl.program_id(0)
+    stage = st_ref[i]
+    k = kk_ref[i]
+
+    @pl.when(i == 0)
+    def _init():
+        ko_ref[:] = k_ref[:]
+        if with_val:
+            vo_ref[:] = v_ref[:]
+
+    key = ko_ref[:]
+    R = key.shape[0]
+    yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    f = yio * L + xio
+    pk = _partner_dyn(key, k, L)
+    up = ((f & stage) == 0) | (stage >= n2)
+    lower = (f & k) == 0
+    take_min = jnp.logical_not(jnp.logical_xor(lower, up))
+    if with_val:
+        val = vo_ref[:]
+        pv = _partner_dyn(val, k, L)
+        keep = ((take_min & (key <= pk))
+                | (jnp.logical_not(take_min) & (key >= pk)))
+        ko_ref[:] = jnp.where(keep, key, pk)
+        vo_ref[:] = jnp.where(keep, val, pv)
+    else:
+        ko_ref[:] = jnp.where(take_min, jnp.minimum(key, pk),
+                              jnp.maximum(key, pk))
+
+
+def _bitonic_sort_fused(key: jnp.ndarray, val, n2: int, L: int):
+    """Single-launch bitonic sort; ``val`` None -> key-only variant.
+    Returns key or (key, val).
+
+    MEASURED SLOWER than the staged form on v5e (keep path 14.9 ms vs
+    3.9 ms at 2^20): tpu.dynamic_rotate + the per-step lax.cond lower
+    far worse than unrolled static-shift rolls, dwarfing the saved
+    launch overhead and chunk re-streaming. Kept (with interpret-mode
+    parity tests vs the staged sort) as the documented negative result;
+    the product path uses _bitonic_sort_staged."""
+    R = key.shape[0]
+    ex = _exchange_table(n2)
+    stages = jnp.asarray([e[0] for e in ex], jnp.int32)
+    ks = jnp.asarray([e[1] for e in ex], jnp.int32)
+    with_val = val is not None
+    kernel = functools.partial(_fused_sort_kernel, n2=n2, L=L,
+                               with_val=with_val)
+    full = pl.BlockSpec((R, L), lambda i, *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+    dummy = val if with_val else key
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(ex),),
+        in_specs=[full, full],
+        out_specs=(full, full),
+    )
+    ko, vo = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024),
+    )(stages, ks, key, dummy)
+    return (ko, vo) if with_val else ko
+
+
 def _sizes_scan_kernel(sk_ref, si_ref, so_ref, io_ref, *, n2: int, L: int):
     """Sorted keys -> per-position run length (sizes_sorted), passing
     sidx through for the unpermute sorts."""
