@@ -35,7 +35,14 @@ def chain_time(fn: Callable, x0, reps: int = 5) -> float:
     def g(x):
         def body(i, acc):
             out = fn(x + (acc * 1e-20).astype(x.dtype))
-            return jnp.sum(jnp.asarray(out, jnp.float32) * 1e-30) + acc
+            # consume a tiny slice of every output leaf: enough of a
+            # data dependency to force execution, without the full-
+            # volume f32 convert+reduce that inflated every stage by
+            # ~3.5 ms in the first r4 roofline run
+            leaves = jax.tree.leaves(out)
+            probe = sum(jnp.sum(jnp.reshape(l, (-1,))[:8].astype(
+                jnp.float32)) for l in leaves)
+            return probe * 1e-30 + acc
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     float(g(x0))  # compile
@@ -55,16 +62,31 @@ class StageSpec:
 
 def roofline_report(stages: List[StageSpec], reps: int = 5,
                     out_path: Optional[str] = None) -> Dict:
-    """Time each stage and compare to its speed-of-light bound."""
+    """Time each stage and compare to its speed-of-light bound.
+
+    The chained harness must copy each stage's (often 236 MB) input per
+    iteration to carry the loop dependency — a measurable tax. For each
+    distinct input we also time an IDENTITY stage and report
+    ``ms`` = raw − identity (the kernel's own time), with ``ms_raw``
+    kept for audit."""
     rows = []
+    id_cache = {}
     for s in stages:
-        ms = chain_time(s.fn, s.example_input, reps=reps)
+        key = id(s.example_input)
+        if key not in id_cache:
+            id_cache[key] = chain_time(lambda x: x, s.example_input,
+                                       reps=reps)
+        overhead = id_cache[key]
+        ms_raw = chain_time(s.fn, s.example_input, reps=reps)
+        ms = max(ms_raw - overhead, 1e-3)
         bw_bound_ms = s.bytes_accessed / (HBM_GBPS * 1e9) * 1000.0
         cp_bound_ms = s.flops / (VPU_TOPS * 1e12) * 1000.0
         bound_ms = max(bw_bound_ms, cp_bound_ms)
         rows.append({
             "stage": s.name,
             "ms": round(ms, 3),
+            "ms_raw": round(ms_raw, 3),
+            "harness_ms": round(overhead, 3),
             "bound_ms": round(bound_ms, 3),
             "bound": "bandwidth" if bw_bound_ms >= cp_bound_ms else "compute",
             "sol_frac": round(bound_ms / ms, 3) if ms > 0 else None,
