@@ -41,6 +41,25 @@ def test_fgs_pallas_parity(data):
     assert rel < 5e-3, rel
 
 
+def test_shift_gather_kernel():
+    """shift_gather_pallas == take-along-axis with the same clamp/fill
+    semantics, including negative and over-range shifts."""
+    from stereo_depth_ruler_tpu.ops.wls_pallas import shift_gather_pallas
+    rng = np.random.default_rng(9)
+    H, W, D = 16, 256, 32
+    v = rng.uniform(-5, 90, (H, W)).astype(np.float32)
+    s = rng.integers(-3, D + 4, (H, W)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(shift_gather_pallas(jnp.asarray(v),
+                                             jnp.asarray(s), D, -7.0))
+    xs = np.arange(W)[None, :]
+    src = xs - s
+    ok = (s >= 0) & (s < 2 ** int(np.ceil(np.log2(D + 1)))) & (src >= 0)
+    ref = np.where(ok, v[np.arange(H)[:, None], np.clip(src, 0, W - 1)],
+                   -7.0)
+    np.testing.assert_array_equal(got, ref.astype(np.float32))
+
+
 def test_wls_pallas_parity(data):
     _, guide = data
     rng = np.random.default_rng(5)
