@@ -40,11 +40,16 @@ def _sgbm_params(args):
 def cmd_run(args) -> int:
     from .io.video import FrameCursor, VideoSource, host_batches
     from .measure import depth_coverage
-    from .metrics import MetricsLog, frame_metrics
+    from .metrics import MetricsLog, FrameMetrics, frame_metrics
     from .parallel.mesh import initialize_distributed
     from .pipeline import PipelineConfig, StereoPipeline
     from .viz import DepthVis, DisparityVis, overlay_heat
 
+    import jax
+    # persistent compile cache: the full-pipeline program costs ~2 min
+    # to compile cold; cached it loads in seconds on later runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # multi-host runtime bootstrap (no-op single-process; SURVEY §2.10)
     initialize_distributed()
     rig = _load_rig(args)
@@ -114,16 +119,32 @@ def cmd_run(args) -> int:
         if pending is not None:
             yield pending
 
+    need_maps = writer is not None or viewer is not None
     for idxs, out, t0, cursor_snap in _pipelined(batches):
-        disp = np.asarray(out["disparity"])
-        z = np.asarray(out["xyz"])[..., 2, :, :]
+        if need_maps:
+            disp = np.asarray(out["disparity"])
+            z = np.asarray(out["xyz"])[..., 2, :, :]
+        else:
+            # in-forward device-side stats: ONE execute per batch and a
+            # 12 B/frame fetch (map fetches + extra executes dominate
+            # through a remote device tunnel and are wasted work when
+            # nothing consumes the maps)
+            stats = np.asarray(out["frame_stats"])
         wall = (time.perf_counter() - t0) * 1000 / len(idxs)
         for k, fi in enumerate(idxs):
             if fi < 0:
                 continue
-            log.append(frame_metrics(int(fi), disp[k], z[k],
-                                     skip_cols=cfg.sgbm.num_disparities,
-                                     wall_ms=wall))
+            if need_maps:
+                log.append(frame_metrics(int(fi), disp[k], z[k],
+                                         skip_cols=cfg.sgbm.num_disparities,
+                                         wall_ms=wall))
+            else:
+                log.append(FrameMetrics(
+                    frame_index=int(fi),
+                    valid_disparity_frac=float(stats[k, 0]),
+                    depth_coverage=float(stats[k, 1]),
+                    mean_depth_mm=float(stats[k, 2]),
+                    wall_ms=wall))
             if writer is not None:
                 lrect = np.asarray(out["left_rectified"])[k]
                 writer.write(overlay_heat(lrect, dvis(disp[k])))

@@ -17,7 +17,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["FrameMetrics", "MetricsLog", "frame_metrics", "StageTimer"]
+__all__ = ["FrameMetrics", "MetricsLog", "frame_metrics",
+           "batch_frame_stats", "StageTimer"]
 
 
 @dataclasses.dataclass
@@ -58,6 +59,30 @@ def frame_metrics(frame_index: int, disp: np.ndarray, depth_z: np.ndarray,
         disparity_mae_vs_ref=mae,
         wall_ms=wall_ms,
     )
+
+
+def batch_frame_stats(disp, z, skip_cols: int = 0,
+                      z_max: float = 12000.0):
+    """Device-side per-frame stats: (N, H, W) disp + z -> (N, 3)
+    [valid_frac, depth_coverage, mean_depth_mm].
+
+    The same quantities frame_metrics computes on host, reduced ON
+    DEVICE so the runner fetches 12 bytes/frame instead of the full
+    disparity + depth maps (~15 MB/frame; through a remote-tunnel
+    device link the map fetches dominated end-to-end fps ~100x). Use
+    with jax.jit; frame_metrics stays for host-side arrays / oracle MAE.
+    """
+    import jax.numpy as jnp
+    valid = disp >= 0
+    vfrac = valid.mean(axis=(-2, -1))
+    zs = z[..., skip_cols:]
+    good = jnp.isfinite(zs) & (zs >= 0) & (zs <= z_max)
+    cov = good.sum(axis=(-2, -1)) / (z.shape[-2] * z.shape[-1])
+    zok = jnp.isfinite(z) & (z > 0) & (z <= z_max)
+    zsum = jnp.where(zok, z, 0.0).sum(axis=(-2, -1))
+    zcnt = zok.sum(axis=(-2, -1))
+    meanz = jnp.where(zcnt > 0, zsum / jnp.maximum(zcnt, 1), jnp.nan)
+    return jnp.stack([vfrac, cov, meanz], axis=-1)
 
 
 class MetricsLog:

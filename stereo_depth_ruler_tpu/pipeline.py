@@ -71,6 +71,12 @@ class PipelineConfig:
     wls_kernel: str = "auto"      # "auto" | "pallas" | "jnp" — Pallas FGS
     #                               solves the tridiagonal systems VMEM-
     #                               resident (~6 launches vs ~1850 sweeps)
+    with_stats: bool = True       # compute per-frame stats (valid frac,
+    #                               coverage, mean depth) INSIDE the
+    #                               forward program: one device execute
+    #                               per batch and a 12 B/frame fetch for
+    #                               headless runs (remote tunnels charge
+    #                               ~0.5-1 s per execute)
     remap_precision: str = "u8"   # "u8" (reference-faithful single-gather
     #                               rectify, 4x faster; REQUIRES 0-255
     #                               8-bit-range inputs — values are
@@ -196,8 +202,14 @@ class StereoPipeline:
                                   quirk_compat=cfg.quirk_compat,
                                   handle_missing=cfg.handle_missing,
                                   layout="chw")
-            return {"disparity": disp, "xyz": xyz, "confidence": conf,
-                    "left_rectified": lrect, "right_rectified": rrect}
+            out = {"disparity": disp, "xyz": xyz, "confidence": conf,
+                   "left_rectified": lrect, "right_rectified": rrect}
+            if cfg.with_stats:
+                from .metrics import batch_frame_stats
+                out["frame_stats"] = batch_frame_stats(
+                    disp, xyz[..., 2, :, :],
+                    skip_cols=cfg.sgbm.num_disparities)
+            return out
 
         return forward
 
