@@ -74,8 +74,8 @@ COMPILE_S = {}
 
 def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from stereo_depth_ruler_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from stereo_depth_ruler_tpu.ops.reproject import reproject_to_3d
@@ -134,8 +134,8 @@ def bench_tpu_full_pipeline(rig, lefts, rights, iters=6):
     (left + ximgproc-style right matcher) -> WLS -> reproject
     (stereo_disparity.cpp:17-39) at the full-res headline config."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from stereo_depth_ruler_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams
@@ -175,8 +175,8 @@ def bench_tpu_sweep(iters=4):
     """The 2560x1440x256 stress config (SURVEY §5 long-context analog):
     1.9 GB int16 cost volume per frame, VMEM-autotuned cost blocks."""
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from stereo_depth_ruler_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from stereo_depth_ruler_tpu.ops.sgbm import SGBMParams

@@ -45,11 +45,12 @@ def cmd_run(args) -> int:
     from .pipeline import PipelineConfig, StereoPipeline
     from .viz import DepthVis, DisparityVis, overlay_heat
 
-    import jax
     # persistent compile cache: the full-pipeline program costs ~2 min
-    # to compile cold; cached it loads in seconds on later runs
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # to compile cold; cached it loads in seconds on later runs.
+    # Respects JAX_COMPILATION_CACHE_DIR / prior jax config; defaults to
+    # ~/.cache/jax (not a hard-coded machine path)
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
     # multi-host runtime bootstrap (no-op single-process; SURVEY §2.10)
     initialize_distributed()
     rig = _load_rig(args)
@@ -273,6 +274,12 @@ def cmd_bench(args) -> int:
                                / "bench.py")]
     if args.no_pallas:
         cmd.append("--no-pallas")
+    if args.no_full:
+        cmd.append("--no-full")
+    if args.sweep:
+        cmd.append("--sweep")
+    if args.iters:
+        cmd += ["--iters", str(args.iters)]
     return subprocess.call(cmd)
 
 
@@ -344,6 +351,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="per-chip benchmark")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--no-full", action="store_true",
+                   help="skip the full-pipeline benchmark")
+    p.add_argument("--sweep", action="store_true",
+                   help="also run the 2560x1440x256 stress config")
+    p.add_argument("--iters", type=int, default=0,
+                   help="chained timing iterations (bench.py default)")
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

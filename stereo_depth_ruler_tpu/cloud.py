@@ -144,7 +144,13 @@ class PointCloudGenerator:
         for i in idxs:
             f = frames[i]
             if f.ndim == 3:
-                gray = f.mean(axis=2)
+                # OpenCV BGR weights, like every other ingest path
+                # (pipeline.bgr_to_gray, io/video._convert; reference
+                # cvtColor at pcd_write.cpp:87-89) — a plain channel
+                # mean silently diverges the matcher's input
+                from .pipeline import bgr_to_gray
+                gray = np.asarray(bgr_to_gray(jnp.asarray(
+                    f, jnp.float32)))
                 color_l = f[:, :w]
             else:
                 gray = f

@@ -257,6 +257,13 @@ def replan_segments(n_frames: int, cursors: dict, surviving,
             b = min(a + per, stop)
             if a < b:
                 plan[h].append((a, b))
+    # ascending order per survivor: recovered_batches tracks progress with
+    # a single monotone FrameCursor.next_frame, which silently skips any
+    # interval that starts BELOW an already-finished one (a survivor whose
+    # own segment follows a dead host's inherited slice would lose the
+    # inherited frames)
+    for h in plan:
+        plan[h].sort()
     return plan
 
 
@@ -267,7 +274,10 @@ def recovered_batches(source, batch_size: int, plan_intervals,
     concatenated intervals for further restarts."""
     src = source if isinstance(source, VideoSource) else VideoSource(source)
     done_total = 0
-    for (start, stop) in plan_intervals:
+    # the monotone cursor is only valid over ascending intervals;
+    # replan_segments emits them sorted, but sort defensively for plans
+    # assembled by hand
+    for (start, stop) in sorted(plan_intervals):
         if cursor is not None and cursor.next_frame > start:
             start = max(start, cursor.next_frame)
         if start >= stop:

@@ -62,6 +62,28 @@ _BIG = 1e9
 _BIGI = 2 ** 28   # "infinity" for int32 DP (headroom: + P2 stays < 2^31)
 
 
+def _sgm_update(c, Lprev, P1, P2, dio=None):
+    """One SGM DP step: c + min(Lprev, minL+P2, min(lm1, lp1)+P1) - minL.
+
+    ``dio``: pre-built (D, W) iota over d. When provided, the d±1
+    neighbor shifts run as cyclic sublane rolls + boundary masks —
+    bit-identical to the unaligned concatenate-slice form but lowered by
+    Mosaic to whole-vreg rotates instead of sublane-misaligned copies
+    (r5 A/B: see tools/ab_r5.py). None keeps the concat form."""
+    D, W = Lprev.shape
+    minL = jnp.min(Lprev, axis=0, keepdims=True)
+    if dio is None:
+        big = jnp.full((1, W), _BIG, jnp.float32)
+        lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
+        lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
+    else:
+        lm1 = jnp.where(dio == 0, _BIG, pltpu.roll(Lprev, 1, 0))
+        lp1 = jnp.where(dio == D - 1, _BIG, pltpu.roll(Lprev, D - 1, 0))
+    best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
+                       jnp.minimum(lm1, lp1) + P1)
+    return c + best - minL
+
+
 # ---------------------------------------------------------------------------
 # cost volume build (fused BT + box filter), output (D, H, W)
 # ---------------------------------------------------------------------------
@@ -322,13 +344,7 @@ def _cost_down_kernel(lt_ref, lmin_ref, lmax_ref,
         c = cost_hdw[y]                            # (D, W) contiguous
 
         def update(Lprev):
-            minL = jnp.min(Lprev, axis=0, keepdims=True)
-            big = jnp.full((1, W), _BIG, jnp.float32)
-            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
-            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
-            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
-                               jnp.minimum(lm1, lp1) + P1)
-            return c + best - minL
+            return _sgm_update(c, Lprev, P1, P2)
 
         Lv = update(lv_ref[:])
         lv_ref[:] = Lv
@@ -434,12 +450,29 @@ def build_cost_down_pallas(lt: jnp.ndarray, rt: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _bitcast16(x):
+    """View a 2-byte array as int16 so the widening `astype(int32)` the
+    transpose kernels use for Mosaic's 16-bit shape-cast limit is a pure
+    reinterpretation — astype on bfloat16/float16 VALUES would truncate
+    fractional data routed through the transposes."""
+    if x.dtype.itemsize == 2 and x.dtype != jnp.int16:
+        return jax.lax.bitcast_convert_type(x, jnp.int16)
+    return x
+
+
+def _bitcast_back16(x, dtype):
+    if jnp.dtype(dtype).itemsize == 2 and dtype != jnp.int16:
+        return jax.lax.bitcast_convert_type(x, dtype)
+    return x
+
+
 def _transpose_kernel(x_ref, o_ref, *, db: int):
     x = x_ref[:]                                   # (A, db, b_blk)
     if x.dtype.itemsize == 2:
         # Mosaic can't shape-cast 16-bit vectors through the unit middle
         # dim jnp.stack introduces — widen for the in-VMEM shuffle (DMA
-        # in/out stays 16-bit)
+        # in/out stays 16-bit). Inputs are pre-bitcast to int16 by the
+        # wrappers, so this widening is value-exact for any 16-bit dtype.
         x = x.astype(jnp.int32)
     o_ref[:] = jnp.stack([jnp.transpose(x[:, d, :], (1, 0))
                           for d in range(db)], axis=1).astype(o_ref.dtype)
@@ -501,8 +534,10 @@ def transpose_dhw_to_wdh_pallas(x: jnp.ndarray, b_blk: int = 128,
             b_blk //= 2
     while D % d_blk:
         d_blk //= 2
+    dtype = x.dtype
+    x = _bitcast16(x)
     kernel = functools.partial(_transpose_dhw_kernel, db=d_blk)
-    return pl.pallas_call(
+    return _bitcast_back16(pl.pallas_call(
         kernel,
         grid=(W // b_blk, D // d_blk),
         in_specs=[pl.BlockSpec((d_blk, H, b_blk), lambda i, j: (j, 0, i),
@@ -512,7 +547,7 @@ def transpose_dhw_to_wdh_pallas(x: jnp.ndarray, b_blk: int = 128,
         out_shape=jax.ShapeDtypeStruct((W, D, H), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x)
+    )(x), dtype)
 
 
 def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
@@ -531,8 +566,10 @@ def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
         a_blk //= 2
     while D % d_blk:
         d_blk //= 2
+    dtype = x.dtype
+    x = _bitcast16(x)
     kernel = functools.partial(_transpose_kernel, db=d_blk)
-    return pl.pallas_call(
+    return _bitcast_back16(pl.pallas_call(
         kernel,
         grid=(A // a_blk, D // d_blk),
         in_specs=[pl.BlockSpec((a_blk, d_blk, B), lambda i, j: (i, j, 0),
@@ -542,7 +579,7 @@ def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
         out_shape=jax.ShapeDtypeStruct((B, D, A), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x)
+    )(x), dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -553,7 +590,7 @@ def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
 def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
                      accumulate: bool, D: int, K: int, reverse: bool,
                      out_offset: float = 0.0, c_dmajor: bool = False,
-                     emit_c: bool = False):
+                     emit_c: bool = False, roll_shift: bool = False):
     """Volume layout (N, D, W): one (K, D, W) slab per sequential grid
     step, rows iterated in scan order inside the kernel (K-row slabs cut
     the sequential grid from N steps to N/K — per-step pipeline overhead
@@ -593,19 +630,16 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
     if emit_c:
         co_ref[:] = c_slab
 
+    Wd = lv_ref.shape[1]
+    dio = (jax.lax.broadcasted_iota(jnp.int32, (D, Wd), 0)
+           if roll_shift else None)
     for j in range(K):
         jj = K - 1 - j if reverse else j
         c = (c_slab[jj] if c_dmajor else c_ref[jj]).astype(jnp.float32)
         W = c.shape[1]
 
         def update(Lprev):
-            minL = jnp.min(Lprev, axis=0, keepdims=True)
-            big = jnp.full((1, W), _BIG, jnp.float32)
-            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
-            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
-            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
-                               jnp.minimum(lm1, lp1) + P1)
-            return c + best - minL
+            return _sgm_update(c, Lprev, P1, P2, dio)
 
         Lv = update(lv_ref[:])
         lv_ref[:] = Lv
@@ -632,7 +666,8 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             rows_per_step: int = 0,
                             out_offset: float = 0.0,
                             c_dmajor: bool = False,
-                            emit_c: bool = False):
+                            emit_c: bool = False,
+                            roll_shift: bool = False):
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
@@ -674,7 +709,7 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                                with_diag=with_diag, accumulate=acc is not None,
                                D=D, K=K, reverse=reverse,
                                out_offset=out_offset, c_dmajor=c_dmajor,
-                               emit_c=emit_c)
+                               emit_c=emit_c, roll_shift=roll_shift)
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
         scratch += [pltpu.VMEM((D, W), jnp.float32),
@@ -975,14 +1010,19 @@ def sgbm_pair_pallas(left: jnp.ndarray, right: jnp.ndarray,
                                      params, blk=cost_blk,
                                      out_dtype=volume_dtype)[:, :, :B1]
     band1 = band1[:, :, ::-1]            # un-mirror -> x in [W-B1, W)
-    s0 = W - _lane_ok(D + r + 8)         # left-edge r columns
-    band2 = build_cost_volume_pallas(lt_m[:, s0:], rt_m[:, s0:],
-                                     params, blk=cost_blk,
-                                     out_dtype=volume_dtype)[:, :, -r:]
-    band2 = band2[:, :, ::-1]            # un-mirror -> x in [0, r)
     if B1 >= W:
         C_R = band1
+    elif r == 0:
+        # block_size 1: no box-filter edge columns on the left — the
+        # [:, :, -0:] slice below would select the whole band instead of
+        # zero columns (wrong-width concatenate)
+        C_R = jnp.concatenate([C_Rs[:, :, :W - B1], band1], axis=2)
     else:
+        s0 = W - _lane_ok(D + r + 8)     # left-edge r columns
+        band2 = build_cost_volume_pallas(lt_m[:, s0:], rt_m[:, s0:],
+                                         params, blk=cost_blk,
+                                         out_dtype=volume_dtype)[:, :, -r:]
+        band2 = band2[:, :, ::-1]        # un-mirror -> x in [0, r)
         C_R = jnp.concatenate(
             [band2, C_Rs[:, :, r:W - B1], band1], axis=2)
 
@@ -1091,10 +1131,13 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     # validity as a float mask (Mosaic's bool-vector support is limited)
     valid = jnp.ones((R, W), jnp.float32)
     if uniq > 0:
+        # exists far d with 100*S_d < (100+u)*s0  <=>  the min of S over
+        # far d crosses the threshold — one masked min-reduce instead of
+        # a full-volume scaled compare + max-reduce
         far = jnp.abs(dio - d_star_i[:, None, :]) > 1
-        bad = jnp.max(jnp.where(
-            far & (S * 100.0 < s0b * (100.0 + uniq)), 1.0, 0.0), axis=1)
-        valid = valid * (1.0 - bad)
+        minT = jnp.min(jnp.where(far, S, _BIG), axis=1)          # (R, W)
+        bad = minT * 100.0 < s0 * (100.0 + uniq)
+        valid = valid * jnp.where(bad, 0.0, 1.0)
     dsb = d_star_i[:, None, :]
     sm = jnp.min(jnp.where(dio == dsb - 1, S, _BIG), axis=1)
     sp = jnp.min(jnp.where(dio == dsb + 1, S, _BIG), axis=1)
@@ -1119,56 +1162,78 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     if disp12 >= 0 and min_disp >= 0:
         md = min_disp
         W = S.shape[2]
-        xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
         BIGP = jnp.int32(2 ** 30)
-        # --- winner scatter: disp2p(x) = min over q of packed(x+q+md)
-        # restricted to source columns whose winner is exactly q+md.
-        # sh[r, q, x] = packed[r, x+q+md]: left-roll row q by q (+md),
-        # built in log2(D) whole-block rolls via q's bit decomposition.
+        # Winner-scatter LR consistency on the (R, W) MAPS with an
+        # incremental one-lane roll per disparity step (a rolling
+        # register: pr_{q+1} = roll(pr_q, 1)), instead of the r2-r4
+        # log2(D) whole-(R, D, W)-block roll pyramids — the map-sized
+        # loop moves ~D*(R*W) elements per phase vs ~log2(D)*(R*D*W)
+        # for the pyramid (14x less VPU traffic at 720p/128; r5 A/B in
+        # tools/ab_r5.py). Static roll-by-one keeps Mosaic on fast
+        # whole-vreg rotates (traced-shift rolls measured far slower in
+        # the r4 fused-sort experiment, ops/sort_tpu.py).
+        #
         # ``mirror_lr`` runs the whole check in mirrored-x semantics
         # (for sgbm_pair_pallas's un-mirrored right-matcher volume,
         # where the secondary view lies at x+d instead of x-d): every
-        # roll direction and boundary convention flips; the min-
-        # reductions and per-pixel selects are mirror-invariant.
-        def lroll(a, k):
-            return pltpu.roll(a, (k % W) if mirror_lr
-                              else (W - k % W) % W, 2)
+        # roll direction and boundary convention flips; the per-pixel
+        # mins and selects are mirror-invariant.
+        xio2 = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+        group = 8
+        while D % group:
+            group //= 2
 
-        def rroll(a, k):
-            return pltpu.roll(a, (W - k % W) % W if mirror_lr
-                              else (k % W), 2)
+        def lroll1(a):   # a[x + 1] (normal) / a[x - 1] (mirrored)
+            return pltpu.roll(a, 1 if mirror_lr else W - 1, 1)
 
-        sh = jnp.broadcast_to(packed[:, None, :], (R, D, W))
-        if md % W:
-            sh = lroll(sh, md)
-        k = 1
-        while k < D:
-            sh = jnp.where((dio & k) != 0, lroll(sh, k), sh)
-            k *= 2
-        src_ok = (xio3 >= dio + md) if mirror_lr \
-            else (xio3 + dio + md < W)
-        okm = ((sh & (PK - 1)) == dio + md) & src_ok
-        disp2p = jnp.min(jnp.where(okm, sh, BIGP), axis=1)        # (R, W)
+        def rroll1(a):   # a[x - 1] (normal) / a[x + 1] (mirrored)
+            return pltpu.roll(a, W - 1 if mirror_lr else 1, 1)
+
+        # --- phase 1: disp2p(x) = min over q of packed(x+q+md)
+        # restricted to source columns whose winner is exactly q+md
+        def scatter_group(g, carry):
+            pr, acc = carry
+            for j in range(group):
+                shift = g * group + j + md
+                src_ok = (xio2 >= shift if mirror_lr
+                          else xio2 < W - shift)
+                ok = ((pr & (PK - 1)) == shift) & src_ok
+                acc = jnp.minimum(acc, jnp.where(ok, pr, BIGP))
+                pr = lroll1(pr)
+            return pr, acc
+
+        pr0 = packed
+        for _ in range(md % W):
+            pr0 = lroll1(pr0)
+        _, disp2p = jax.lax.fori_loop(
+            0, D // group, scatter_group,
+            (pr0, jnp.full((R, W), BIGP, jnp.int32)))
         disp2 = jnp.where(disp2p < BIGP,
                           (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
-        # --- consistency at x_r = x -/+ round(disp): shr[r, q, x] =
-        # disp2[r, x-q-md] (right-roll by q+md), select row rd-md.
+
+        # --- phase 2: consistency at x_r = x -/+ round(disp):
+        # cand(x) = disp2[x - rd] selected from the rolling register at
+        # q + md == rd; out-of-image x_r -> sentinel -2 (= consistent
+        # by convention)
         rd = jnp.round(disp)                                     # (R, W)
-        shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
-        if md % W:
-            shr = rroll(shr, md)
-        k = 1
-        while k < D:
-            shr = jnp.where((dio & k) != 0, rroll(shr, k), shr)
-            k *= 2
-        # out-of-image x_r -> consistent by convention (sentinel -2):
-        # x_r < 0 for the normal orientation, x_r > W-1 mirrored
-        oob = (xio3 + dio + md > W - 1) if mirror_lr \
-            else (xio3 < dio + md)
-        shr = jnp.where(oob, jnp.float32(-2.0), shr)
-        rsel = (rd - md)[:, None, :]
-        cand = jnp.min(jnp.where(dio.astype(jnp.float32) == rsel,
-                                 shr, _BIG), axis=1)             # (R, W)
+
+        def gather_group(g, carry):
+            dr, cand = carry
+            for j in range(group):
+                shift = g * group + j + md
+                oob = (xio2 > W - 1 - shift if mirror_lr
+                       else xio2 < shift)
+                v = jnp.where(oob, jnp.float32(-2.0), dr)
+                cand = jnp.where(rd == shift, v, cand)
+                dr = rroll1(dr)
+            return dr, cand
+
+        dr0 = disp2
+        for _ in range(md % W):
+            dr0 = rroll1(dr0)
+        _, cand = jax.lax.fori_loop(
+            0, D // group, gather_group,
+            (dr0, jnp.full((R, W), _BIG, jnp.float32)))
         ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
               | (cand <= -1.5) | (cand >= _BIG * 0.5))
         valid = valid * jnp.where(ok, 1.0, 0.0)
@@ -1252,13 +1317,7 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
         W = c.shape[1]
 
         def update(Lprev):
-            minL = jnp.min(Lprev, axis=0, keepdims=True)
-            big = jnp.full((1, W), _BIG, jnp.float32)
-            lm1 = jnp.concatenate([big, Lprev[:D - 1]], axis=0)
-            lp1 = jnp.concatenate([Lprev[1:], big], axis=0)
-            best = jnp.minimum(jnp.minimum(Lprev, minL + P2),
-                               jnp.minimum(lm1, lp1) + P1)
-            return c + best - minL
+            return _sgm_update(c, Lprev, P1, P2)
 
         Lv = update(lv_ref[:])
         lv_ref[:] = Lv
@@ -1487,24 +1546,50 @@ def _speckle_labels_kernel(disp_ref, lab_ref, *, H: int, W: int,
     lab_ref[:] = jnp.where(valid, lab, sent)
 
 
+def _speckle_labels_batched(disp: jnp.ndarray, max_diff: float,
+                            max_iters: int = 0) -> jnp.ndarray:
+    """(B, H, W) batched CCL: one grid step per frame (each runs its own
+    convergence while_loop in VMEM)."""
+    B, H, W = disp.shape
+    kernel = functools.partial(_speckle_labels_kernel, H=H, W=W,
+                               max_diff=float(max_diff),
+                               max_iters=max_iters)
+    spec = pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        lambda d_ref, l_ref: kernel(d_ref.at[0], l_ref.at[0]),
+        grid=(B,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(disp.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _labels_fn(max_diff: float, max_iters: int):
+    @jax.custom_batching.custom_vmap
+    def f(disp):
+        return _speckle_labels_batched(disp[None], max_diff, max_iters)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, disp):
+        del axis_size, in_batched
+        return _speckle_labels_batched(disp, max_diff, max_iters), True
+
+    return f
+
+
 def speckle_labels_pallas(disp: jnp.ndarray, max_diff: float,
                           max_iters: int = 0) -> jnp.ndarray:
     """(H, W) disparity -> (H, W) int32 component labels (min flat
     index; invalid pixels get H*W). ``max_iters`` > 0 caps the
     convergence rounds (see ops/sgbm.speckle_filter docstring for the
-    measured bounds); 0 = exact flood-fill."""
-    H, W = disp.shape
-    kernel = functools.partial(_speckle_labels_kernel, H=H, W=W,
-                               max_diff=float(max_diff),
-                               max_iters=max_iters)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(disp.astype(jnp.float32))
+    measured bounds); 0 = exact flood-fill. Under vmap the batch is
+    routed into the kernel's grid (one frame per step) instead of
+    folding into the block (VMEM-bounded) or a sequential lax.map."""
+    return _labels_fn(float(max_diff), int(max_iters))(disp)
 
 
 def component_sizes_sorted(labels: jnp.ndarray) -> jnp.ndarray:

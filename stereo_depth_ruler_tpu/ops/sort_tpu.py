@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -91,8 +92,11 @@ def _sort_chunk_kernel(k_ref, v_ref, ko_ref, vo_ref, *, exchanges,
 
     Chunked because Mosaic's scoped-VMEM stack grows ~5 MB per unrolled
     exchange at (1024, 1024): one kernel per outer stage (up to 20
-    exchanges) overflowed the 100 MB limit."""
-    key, val = k_ref[:], v_ref[:]
+    exchanges) overflowed the 100 MB limit. Block is (1, R, L): the
+    grid iterates a BATCH of independent sorts per launch (r5: the
+    ~43-launch chain per frame was paying ~0.5 ms/frame of launch
+    overhead under vmap's sequential lax.map)."""
+    key, val = k_ref.at[0][:], v_ref.at[0][:]
     R = key.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
@@ -107,19 +111,21 @@ def _sort_chunk_kernel(k_ref, v_ref, ko_ref, vo_ref, *, exchanges,
                 | (jnp.logical_not(take_min) & (key >= pk)))
         key = jnp.where(keep, key, pk)
         val = jnp.where(keep, val, pv)
-    ko_ref[:] = key
-    vo_ref[:] = val
+    ko_ref.at[0][:] = key
+    vo_ref.at[0][:] = val
 
 
 def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
                          L: int, chunk: int = 10):
     """Ascending (key, val) bitonic sort as a chain of pallas_calls of
-    ``chunk`` compare-exchanges each. A single fully-unrolled kernel
-    (210 exchanges at n2 = 2^20) took Mosaic >25 min to compile and one
-    kernel per outer stage overflowed scoped VMEM; ~6-exchange chunks
-    compile in seconds and keep the stack ~30 MB. The extra HBM
-    round-trips are 8 MB per chunk (~0.4 ms total at 720p)."""
-    R = key.shape[0]
+    ``chunk`` compare-exchanges each, batched over the leading axis of
+    (B, R, L) arrays (one grid step per independent sort). A single
+    fully-unrolled kernel (210 exchanges at n2 = 2^20) took Mosaic
+    >25 min to compile and one kernel per outer stage overflowed scoped
+    VMEM; ~6-exchange chunks compile in seconds and keep the stack
+    ~30 MB. The extra HBM round-trips are 8 MB per chunk (~0.4 ms total
+    at 720p)."""
+    B, R, _ = key.shape
     exchanges = []
     stage = 2
     while stage <= n2:
@@ -128,15 +134,18 @@ def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
             exchanges.append((stage, k))
             k //= 2
         stage *= 2
+    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     for i in range(0, len(exchanges), chunk):
         kernel = functools.partial(_sort_chunk_kernel,
                                    exchanges=tuple(exchanges[i:i + chunk]),
                                    n2=n2, L=L)
         key, val = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-            out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),) * 2,
+            grid=(B,),
+            in_specs=[spec] * 2,
+            out_specs=(spec,) * 2,
+            out_shape=(jax.ShapeDtypeStruct((B, R, L), jnp.int32),) * 2,
             input_output_aliases={0: 0, 1: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=116 * 1024 * 1024),
@@ -260,8 +269,8 @@ def _bitonic_sort_fused(key: jnp.ndarray, val, n2: int, L: int):
 
 def _sizes_scan_kernel(sk_ref, si_ref, so_ref, io_ref, *, n2: int, L: int):
     """Sorted keys -> per-position run length (sizes_sorted), passing
-    sidx through for the unpermute sorts."""
-    skey = sk_ref[:]
+    sidx through for the unpermute sorts. (1, R, L) blocks, batch grid."""
+    skey = sk_ref.at[0][:]
     R = skey.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
@@ -279,8 +288,46 @@ def _sizes_scan_kernel(sk_ref, si_ref, so_ref, io_ref, *, n2: int, L: int):
         ne = jnp.minimum(ne, _flat_roll_fwd(ne, k, R, L, n2))
         k *= 2
     nxt = _flat_roll_fwd(ne, 1, R, L, n2)
-    so_ref[:] = nxt - rs
-    io_ref[:] = si_ref[:]
+    so_ref.at[0][:] = nxt - rs
+    io_ref.at[0][:] = si_ref.at[0][:]
+
+
+def _pack_batched(labels: jnp.ndarray):
+    """(B, ...) int labels -> (B, R, L) padded flat blocks + geometry."""
+    B = labels.shape[0]
+    n = int(np.prod(labels.shape[1:]))
+    n2 = 1
+    while n2 < n:
+        n2 *= 2
+    L = min(n2, 1024)
+    R = n2 // L
+    flat = jnp.full((B, n2), _INF, jnp.int32).at[:, :n].set(
+        labels.reshape(B, -1).astype(jnp.int32))
+    return flat.reshape(B, R, L), n, n2, L, R
+
+
+def _counts_batched(labels: jnp.ndarray) -> jnp.ndarray:
+    """(B, ...) -> per-element equal-value counts, all B sorts sharing
+    each pallas launch (grid over the batch)."""
+    B = labels.shape[0]
+    key, n, n2, L, R = _pack_batched(labels)
+    pos = jnp.broadcast_to(jnp.arange(n2, dtype=jnp.int32).reshape(R, L),
+                           (B, R, L))
+    skey, sidx = _bitonic_sort_staged(key, pos, n2, L)
+    kernel = functools.partial(_sizes_scan_kernel, n2=n2, L=L)
+    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sizes_sorted, sidx = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[spec] * 2,
+        out_specs=(spec,) * 2,
+        out_shape=(jax.ShapeDtypeStruct((B, R, L), jnp.int32),) * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(skey, sidx)
+    _, out = _bitonic_sort_staged(sidx, sizes_sorted, n2, L)
+    return out.reshape(B, -1)[:, :n].reshape(labels.shape)
 
 
 @jax.custom_batching.custom_vmap
@@ -290,41 +337,16 @@ def equal_value_counts_pallas(labels: jnp.ndarray) -> jnp.ndarray:
     (VMEM-resident); larger inputs should use the XLA-sort fallback.
 
     Batching: jax.vmap's default pallas rule folds the batch axis into
-    each kernel's block (VMEM OOM at 720p batch 4), so vmap is overridden
-    to a sequential lax.map — each frame's sort chain already saturates
-    the VPU on its own."""
-    shape = labels.shape
-    n = labels.size
-    n2 = 1
-    while n2 < n:
-        n2 *= 2
-    L = min(n2, 1024)
-    R = n2 // L
-    flat = jnp.full((n2,), _INF, jnp.int32).at[:n].set(
-        labels.reshape(-1).astype(jnp.int32))
-    key = flat.reshape(R, L)
-    pos = jnp.arange(n2, dtype=jnp.int32).reshape(R, L)
-    skey, sidx = _bitonic_sort_staged(key, pos, n2, L)
-    kernel = functools.partial(_sizes_scan_kernel, n2=n2, L=L)
-    sizes_sorted, sidx = pl.pallas_call(
-        kernel,
-        grid=(1,),
-        in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)] * 2,
-        out_specs=(pl.BlockSpec((R, L), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),) * 2,
-        out_shape=(jax.ShapeDtypeStruct((R, L), jnp.int32),) * 2,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(skey, sidx)
-    _, out = _bitonic_sort_staged(sidx, sizes_sorted, n2, L)
-    return out.reshape(-1)[:n].reshape(shape)
+    each kernel's block (VMEM OOM at 720p batch 4); the custom rule
+    routes the batch into the kernels' GRID instead, so the ~43-launch
+    sort chain runs once per batch rather than once per frame."""
+    return _counts_batched(labels[None])[0]
 
 
 @equal_value_counts_pallas.def_vmap
 def _counts_vmap_rule(axis_size, in_batched, labels):
     del axis_size, in_batched
-    return jax.lax.map(equal_value_counts_pallas, labels), True
+    return _counts_batched(labels), True
 
 
 # ---------------------------------------------------------------------------
@@ -335,8 +357,9 @@ def _counts_vmap_rule(axis_size, in_batched, labels):
 def _sort_chunk_single_kernel(k_ref, ko_ref, *, exchanges, n2: int, L: int):
     """Chunk of compare-exchanges on ONE int32 array (no payload):
     new = take_min ? min(a, pk) : max(a, pk) — about half the VPU work
-    and half the VMEM traffic of the pair version."""
-    key = k_ref[:]
+    and half the VMEM traffic of the pair version. (1, R, L) blocks,
+    batch grid."""
+    key = k_ref.at[0][:]
     R = key.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
@@ -348,12 +371,12 @@ def _sort_chunk_single_kernel(k_ref, ko_ref, *, exchanges, n2: int, L: int):
         take_min = jnp.logical_not(jnp.logical_xor(lower, up))
         key = jnp.where(take_min, jnp.minimum(key, pk),
                         jnp.maximum(key, pk))
-    ko_ref[:] = key
+    ko_ref.at[0][:] = key
 
 
 def _bitonic_sort_single(key: jnp.ndarray, n2: int, L: int,
                          chunk: int = 10) -> jnp.ndarray:
-    R = key.shape[0]
+    B, R, _ = key.shape
     exchanges = []
     stage = 2
     while stage <= n2:
@@ -362,15 +385,18 @@ def _bitonic_sort_single(key: jnp.ndarray, n2: int, L: int,
             exchanges.append((stage, k))
             k //= 2
         stage *= 2
+    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     for i in range(0, len(exchanges), chunk):
         kernel = functools.partial(_sort_chunk_single_kernel,
                                    exchanges=tuple(exchanges[i:i + chunk]),
                                    n2=n2, L=L)
         key = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((R, L), jnp.int32),
+            grid=(B,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, R, L), jnp.int32),
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=116 * 1024 * 1024),
@@ -381,8 +407,8 @@ def _bitonic_sort_single(key: jnp.ndarray, n2: int, L: int,
 def _keep_scan_kernel(sk_ref, si_ref, pk_ref, *, n2: int, L: int,
                       max_size: int):
     """Sorted keys + sidx -> packed (sidx*2 + keep_bit) where keep =
-    run length > max_size."""
-    skey = sk_ref[:]
+    run length > max_size. (1, R, L) blocks, batch grid."""
+    skey = sk_ref.at[0][:]
     R = skey.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
@@ -401,49 +427,43 @@ def _keep_scan_kernel(sk_ref, si_ref, pk_ref, *, n2: int, L: int,
         k *= 2
     nxt = _flat_roll_fwd(ne, 1, R, L, n2)
     keep = ((nxt - rs) > max_size).astype(jnp.int32)
-    pk_ref[:] = si_ref[:] * 2 + keep
+    pk_ref.at[0][:] = si_ref.at[0][:] * 2 + keep
 
 
-def _speckle_keep_impl(labels: jnp.ndarray, max_size: int) -> jnp.ndarray:
-    shape = labels.shape
-    n = labels.size
-    n2 = 1
-    while n2 < n:
-        n2 *= 2
-    L = min(n2, 1024)
-    R = n2 // L
-    flat = jnp.full((n2,), _INF, jnp.int32).at[:n].set(
-        labels.reshape(-1).astype(jnp.int32))
-    key = flat.reshape(R, L)
-    pos = jnp.arange(n2, dtype=jnp.int32).reshape(R, L)
+def _speckle_keep_batched(labels: jnp.ndarray, max_size: int):
+    B = labels.shape[0]
+    key, n, n2, L, R = _pack_batched(labels)
+    pos = jnp.broadcast_to(jnp.arange(n2, dtype=jnp.int32).reshape(R, L),
+                           (B, R, L))
     skey, sidx = _bitonic_sort_staged(key, pos, n2, L)
     kernel = functools.partial(_keep_scan_kernel, n2=n2, L=L,
                                max_size=int(max_size))
+    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     packed = pl.pallas_call(
         kernel,
-        grid=(1,),
-        in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec((R, L), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, L), jnp.int32),
+        grid=(B,),
+        in_specs=[spec] * 2,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, R, L), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(skey, sidx)
     out = _bitonic_sort_single(packed, n2, L)
-    return (out.reshape(-1)[:n] & 1).astype(jnp.bool_).reshape(shape)
+    return (out.reshape(B, -1)[:, :n] & 1).astype(
+        jnp.bool_).reshape(labels.shape)
 
 
 @functools.lru_cache(maxsize=None)
 def _keep_fn(max_size: int):
     @jax.custom_batching.custom_vmap
     def f(labels):
-        return _speckle_keep_impl(labels, max_size)
+        return _speckle_keep_batched(labels[None], max_size)[0]
 
     @f.def_vmap
     def _rule(axis_size, in_batched, labels):
         del axis_size, in_batched
-        return jax.lax.map(f, labels), True
+        return _speckle_keep_batched(labels, max_size), True
 
     return f
 

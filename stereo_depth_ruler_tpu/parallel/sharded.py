@@ -10,8 +10,11 @@ module is the TPU-native scale-out design:
     * ``halo`` (default): each tile receives a `halo`-row slab of its
       neighbor's cost volume via `ppermute` and warm-starts the scan from
       the zero state `halo` rows early. SGM's P2 cap + min-normalization
-      attenuate the influence of the start state, so a modest halo (32-64
-      rows) reproduces the exact result almost everywhere (tested); tile 0
+      attenuate the influence of the start state; measured at the 720p/128
+      operating point (HALO_r04.jsonl, 2-tile mesh): halo=64 is EXACT
+      (agreement 1.0), halo=32 (the default) differs on ~1e-5 of pixels
+      with max error 0.0625 px (1px-agreement 1.0) at half the exchanged
+      bytes — pick 64 for bitwise parity, 32 for throughput. Tile 0
       (down pass) / last tile (up pass) receive `ppermute`'s zero fill —
       which IS the exact path-start state, so edge tiles are exact.
     * ``exact``: sequential wavefront — tile k runs its scan only after

@@ -105,3 +105,28 @@ def test_cloud_pipeline_geometry(tmp_path):
     assert path.name == "frame_00100.pcd"
     xyz2, rgb2, _ = read_pcd(path)
     assert len(xyz2) == out["count"]
+
+
+def test_process_sbs_video_uses_bgr_gray_weights(tmp_path, monkeypatch):
+    """r4 weak 6: the cloud path's grayscale must use the OpenCV BGR
+    weights (pcd_write.cpp:87-89 calls cvtColor), not a channel mean."""
+    from stereo_depth_ruler_tpu.pipeline import bgr_to_gray
+
+    rig = StereoRig.synthetic(width=64, height=32)
+    gen = PointCloudGenerator(rig, CloudConfig(
+        sgbm=SGBMParams(num_disparities=16, block_size=3), leaf=0.0))
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 255, (1, 32, 128, 3)).astype(np.uint8)
+
+    captured = {}
+
+    def spy_write_frame(out_dir, idx, gray, gray_r, color_l=None):
+        captured["gray"] = np.asarray(gray)
+        return tmp_path / "f.pcd"
+
+    monkeypatch.setattr(gen, "write_frame", spy_write_frame)
+    gen.process_sbs_video(frames, tmp_path, target_frames=[0])
+    expect = np.asarray(bgr_to_gray(frames[0].astype(np.float32)))[:, :64]
+    np.testing.assert_allclose(captured["gray"], expect, atol=1e-4)
+    assert not np.allclose(captured["gray"],
+                           frames[0, :, :64].mean(axis=2), atol=0.5)

@@ -127,3 +127,29 @@ def test_recovered_batches_processes_plan(tmp_path):
         seen.extend(int(i) for i in idxs if i >= 0)
     assert seen == list(range(8, 12)) + list(range(14, 24))
     assert cur.next_frame == 24
+
+
+def test_recovered_batches_inherited_earlier_interval(tmp_path):
+    """r4 advisor (high): a survivor whose OWN segment follows a dead
+    host's segment inherits an interval that starts BELOW its cursor
+    position after its own work — the monotone cursor must not skip it.
+    Here host 0 (segment [0,12)) dies at frame 2; survivor 1 (segment
+    [12,24), cursor 14) must process [14,24) AND the orphaned [2,12)."""
+    from stereo_depth_ruler_tpu.io.video import (FrameCursor,
+                                                 recovered_batches,
+                                                 replan_segments)
+
+    n_frames = 24
+    frames = np.stack([np.full((8, 16), i, np.uint8)
+                       for i in range(n_frames)])
+    src = VideoSource(frames, gray=False)
+    cursors = {0: 2, 1: 14}
+    plan = replan_segments(n_frames, cursors, surviving=[1], batch=2)
+    assert plan[1] == sorted(plan[1])      # ascending for the cursor
+    cur = FrameCursor(source="x")
+    seen = []
+    for idxs, lefts, rights in recovered_batches(src, 2, plan[1],
+                                                 cursor=cur):
+        seen.extend(int(i) for i in idxs if i >= 0)
+    assert sorted(seen) == list(range(2, 12)) + list(range(14, 24))
+    assert len(seen) == len(set(seen))

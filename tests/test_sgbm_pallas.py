@@ -189,3 +189,39 @@ def test_cost_down_fused_parity(cost):
         np.transpose(np.asarray(C), (0, 2, 1)), C_ref)
     np.testing.assert_array_equal(np.asarray(S3).astype(np.float32),
                                   np.asarray(S3_ref))
+
+
+def test_transpose_kernels_roundtrip_bfloat16():
+    """r4 advisor: the widening workaround for Mosaic's 16-bit shape-cast
+    limit must not VALUE-convert 16-bit floats (bitcast, not astype)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(16, 8, 24)), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        y = sp.transpose_vol_pallas(x)
+        back = sp.transpose_vol_pallas(y)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(back, np.float32),
+                                  np.asarray(x, np.float32))
+
+    xd = jnp.asarray(rng.normal(size=(8, 16, 128)), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        yd = sp.transpose_dhw_to_wdh_pallas(xd)
+    np.testing.assert_array_equal(
+        np.asarray(yd, np.float32),
+        np.transpose(np.asarray(xd, np.float32), (2, 0, 1)))
+
+
+def test_pair_matcher_block_size_one(imgs):
+    """r4 advisor: block_size=1 (r=0) used to build a wrong-width band2
+    slice ([:, :, -0:] selects everything). Parity vs the generic
+    matcher on both eyes."""
+    left, right = imgs
+    params = SGBMParams(num_disparities=16, block_size=1, p1=8, p2=32,
+                        speckle_window_size=0)
+    with pltpu.force_tpu_interpret_mode():
+        dl, dr = sp.sgbm_pair_pallas(jnp.asarray(left), jnp.asarray(right),
+                                     params)
+        dl_ref = sp.sgbm_pallas(jnp.asarray(left), jnp.asarray(right),
+                                params)
+    np.testing.assert_array_equal(np.asarray(dl), np.asarray(dl_ref))
+    assert np.asarray(dr).shape == dl_ref.shape
