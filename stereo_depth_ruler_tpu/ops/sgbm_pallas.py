@@ -587,10 +587,27 @@ def transpose_vol_pallas(x: jnp.ndarray, a_blk: int = 128,
 # ---------------------------------------------------------------------------
 
 
+def _diag_shifts(ldr, ldl, W: int, xio=None):
+    """The two diagonal-carry lane shifts (x-1 for down-right, x+1 for
+    down-left), zero-filled at the image border. ``xio``: pre-built
+    (D, W) lane iota selects the roll+mask form (whole-vreg lane rotates)
+    instead of the unaligned concatenate-slice copies."""
+    if xio is None:
+        D = ldr.shape[0]
+        zcol = jnp.zeros((D, 1), jnp.float32)
+        pdr = jnp.concatenate([zcol, ldr[:, :W - 1]], axis=1)
+        pdl = jnp.concatenate([ldl[:, 1:], zcol], axis=1)
+    else:
+        pdr = jnp.where(xio == 0, 0.0, pltpu.roll(ldr, 1, 1))
+        pdl = jnp.where(xio == W - 1, 0.0, pltpu.roll(ldl, W - 1, 1))
+    return pdr, pdl
+
+
 def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
                      accumulate: bool, D: int, K: int, reverse: bool,
                      out_offset: float = 0.0, c_dmajor: bool = False,
-                     emit_c: bool = False, roll_shift: bool = False):
+                     emit_c: bool = False, roll_shift: bool = False,
+                     diag_roll: bool = False):
     """Volume layout (N, D, W): one (K, D, W) slab per sequential grid
     step, rows iterated in scan order inside the kernel (K-row slabs cut
     the sequential grid from N steps to N/K — per-step pipeline overhead
@@ -633,6 +650,8 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
     Wd = lv_ref.shape[1]
     dio = (jax.lax.broadcasted_iota(jnp.int32, (D, Wd), 0)
            if roll_shift else None)
+    xio = (jax.lax.broadcasted_iota(jnp.int32, (D, Wd), 1)
+           if diag_roll else None)
     for j in range(K):
         jj = K - 1 - j if reverse else j
         c = (c_slab[jj] if c_dmajor else c_ref[jj]).astype(jnp.float32)
@@ -645,9 +664,7 @@ def _dir_pass_kernel(c_ref, *refs, P1: float, P2: float, with_diag: bool,
         lv_ref[:] = Lv
         out = Lv
         if with_diag:
-            zcol = jnp.zeros((D, 1), jnp.float32)
-            pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
-            pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
+            pdr, pdl = _diag_shifts(ldr_ref[:], ldl_ref[:], W, xio)
             Ldr = update(pdr)
             Ldl = update(pdl)
             ldr_ref[:] = Ldr
@@ -667,7 +684,8 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                             out_offset: float = 0.0,
                             c_dmajor: bool = False,
                             emit_c: bool = False,
-                            roll_shift: bool = False):
+                            roll_shift: bool = False,
+                            diag_roll: bool = True):
     """One scan pass over axis 0 of an (N, D, W) volume.
 
     reverse=False scans 0→N-1 (down / left→right on the transposed
@@ -709,7 +727,8 @@ def directional_pass_pallas(C: jnp.ndarray, P1: float, P2: float,
                                with_diag=with_diag, accumulate=acc is not None,
                                D=D, K=K, reverse=reverse,
                                out_offset=out_offset, c_dmajor=c_dmajor,
-                               emit_c=emit_c, roll_shift=roll_shift)
+                               emit_c=emit_c, roll_shift=roll_shift,
+                               diag_roll=diag_roll)
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:
         scratch += [pltpu.VMEM((D, W), jnp.float32),
@@ -1105,7 +1124,8 @@ def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
 
 
 def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
-              quantize_16: bool, disp12: int = -1, mirror_lr: bool = False):
+              quantize_16: bool, disp12: int = -1, mirror_lr: bool = False,
+              lr_impl: str = "pyramid"):
     """(R, D, W) summed path volume -> (disp, valid, packed) maps.
 
     WTA + uniqueness + subpixel in one vectorized body; shared by the
@@ -1125,9 +1145,15 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     """
     W = S.shape[2]
     dio = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 1)
-    s0 = jnp.min(S, axis=1)                                  # (R, W)
-    s0b = s0[:, None, :]
-    d_star_i = jnp.min(jnp.where(S == s0b, dio, D), axis=1)  # (R, W) i32
+    PK = 1 << int(D + min_disp).bit_length()
+    # all path sums are exact small non-negative ints (<= ~44400 for 8
+    # paths), so one packed int32 min-reduce of S*PK + d yields BOTH the
+    # winning cost and the smallest winning d (OpenCV tie-break) — one
+    # volume reduce instead of the min + masked-equality second reduce
+    key = jnp.min(S.astype(jnp.int32) * PK + dio, axis=1)    # (R, W)
+    d_star_i = key & (PK - 1)                                # (R, W) i32
+    s0i = key >> PK.bit_length() - 1
+    s0 = s0i.astype(jnp.float32)                             # (R, W)
     # validity as a float mask (Mosaic's bool-vector support is limited)
     valid = jnp.ones((R, W), jnp.float32)
     if uniq > 0:
@@ -1156,10 +1182,63 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
     else:
         valid = valid * jnp.where((d_star_i + min_disp) <= xio, 1.0, 0.0)
 
-    PK = 1 << int(D + min_disp).bit_length()
-    packed = s0.astype(jnp.int32) * PK + d_star_i + min_disp
+    packed = key + min_disp        # == s0i * PK + d_star_i + min_disp
 
-    if disp12 >= 0 and min_disp >= 0:
+    if disp12 >= 0 and min_disp >= 0 and lr_impl == "pyramid":
+        # Winner-scatter LR consistency as log2(D) whole-(R, D, W) roll
+        # pyramids (the r4 product path). The "rolling" map-level
+        # register below moves ~14x fewer elements but is a chain of
+        # 2*D dependent one-lane rolls — measured SLOWER on v5e
+        # (67.8 -> 61.9 fps batch-4 bench regression, r5 session);
+        # the pyramid's log2(D) big independent ops pipeline better.
+        md = min_disp
+        W = S.shape[2]
+        xio3 = jax.lax.broadcasted_iota(jnp.int32, (R, D, W), 2)
+        BIGP = jnp.int32(2 ** 30)
+
+        def lroll(a, k):
+            return pltpu.roll(a, (k % W) if mirror_lr
+                              else (W - k % W) % W, 2)
+
+        def rroll(a, k):
+            return pltpu.roll(a, (W - k % W) % W if mirror_lr
+                              else (k % W), 2)
+
+        sh = jnp.broadcast_to(packed[:, None, :], (R, D, W))
+        if md % W:
+            sh = lroll(sh, md)
+        k = 1
+        while k < D:
+            sh = jnp.where((dio & k) != 0, lroll(sh, k), sh)
+            k *= 2
+        src_ok = (xio3 >= dio + md) if mirror_lr \
+            else (xio3 + dio + md < W)
+        okm = ((sh & (PK - 1)) == dio + md) & src_ok
+        disp2p = jnp.min(jnp.where(okm, sh, BIGP), axis=1)        # (R, W)
+        disp2 = jnp.where(disp2p < BIGP,
+                          (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
+        # consistency at x_r = x -/+ round(disp): shr[r, q, x] =
+        # disp2[r, x-q-md] (right-roll by q+md), select row rd-md.
+        rd = jnp.round(disp)                                     # (R, W)
+        shr = jnp.broadcast_to(disp2[:, None, :], (R, D, W))
+        if md % W:
+            shr = rroll(shr, md)
+        k = 1
+        while k < D:
+            shr = jnp.where((dio & k) != 0, rroll(shr, k), shr)
+            k *= 2
+        # out-of-image x_r -> consistent by convention (sentinel -2)
+        oob = (xio3 + dio + md > W - 1) if mirror_lr \
+            else (xio3 < dio + md)
+        shr = jnp.where(oob, jnp.float32(-2.0), shr)
+        rsel = (rd - md)[:, None, :]
+        cand = jnp.min(jnp.where(dio.astype(jnp.float32) == rsel,
+                                 shr, _BIG), axis=1)             # (R, W)
+        ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
+              | (cand <= -1.5) | (cand >= _BIG * 0.5))
+        valid = valid * jnp.where(ok, 1.0, 0.0)
+
+    elif disp12 >= 0 and min_disp >= 0:
         md = min_disp
         W = S.shape[2]
         BIGP = jnp.int32(2 ** 30)
@@ -1288,7 +1367,8 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
                    uniq: int, quantize_16: bool, disp12: int = -1,
                    sd_offset: float = 0.0, c_dmajor: bool = False,
-                   mirror_lr: bool = False):
+                   mirror_lr: bool = False, lr_impl: str = "pyramid",
+                   diag_roll: bool = False):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
     each row's L_up (+diagonals) is summed with the S_down and S_h slabs
@@ -1310,6 +1390,9 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
             ldl_ref[:] = jnp.zeros_like(ldl_ref)
 
     c_slab = (jnp.transpose(c_ref[:], (1, 0, 2)) if c_dmajor else None)
+    Wd = lv_ref.shape[1]
+    xio_d = (jax.lax.broadcasted_iota(jnp.int32, (D, Wd), 1)
+             if diag_roll else None)
     rows = []
     for j in range(K):
         jj = K - 1 - j                             # bottom-up inside slab
@@ -1323,9 +1406,7 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
         lv_ref[:] = Lv
         up = Lv
         if with_diag:
-            zcol = jnp.zeros((D, 1), jnp.float32)
-            pdr = jnp.concatenate([zcol, ldr_ref[:, :W - 1]], axis=1)
-            pdl = jnp.concatenate([ldl_ref[:, 1:], zcol], axis=1)
+            pdr, pdl = _diag_shifts(ldr_ref[:], ldl_ref[:], W, xio_d)
             Ldr = update(pdr)
             Ldl = update(pdl)
             ldr_ref[:] = Ldr
@@ -1339,7 +1420,8 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
     S = jnp.stack([r for _, r in sorted(rows)], axis=0)      # (K, D, W)
     disp, valid, packed = _wta_body(S, D=D, R=K, min_disp=min_disp,
                                     uniq=uniq, quantize_16=quantize_16,
-                                    disp12=disp12, mirror_lr=mirror_lr)
+                                    disp12=disp12, mirror_lr=mirror_lr,
+                                    lr_impl=lr_impl)
     disp_ref[:] = disp
     val_ref[:] = valid
     pk_ref[:] = packed
@@ -1351,7 +1433,9 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
                   apply_lr: bool = True, with_diag: bool = True,
                   sd_offset: float = 0.0,
                   c_dmajor: bool = False,
-                  mirror_lr: bool = False) -> jnp.ndarray:
+                  mirror_lr: bool = False,
+                  lr_impl: str = "pyramid",
+                  diag_roll: bool = True) -> jnp.ndarray:
     """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the partial
     path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible
     with directional_pass_pallas(reverse=True) + wta_lr_pallas. ``S_h``
@@ -1384,7 +1468,8 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
         uniq=params.uniqueness_ratio, quantize_16=params.quantize_16,
         disp12=params.disp12_max_diff if lr_in_kernel else -1,
-        sd_offset=sd_offset, c_dmajor=c_dmajor, mirror_lr=mirror_lr)
+        sd_offset=sd_offset, c_dmajor=c_dmajor, mirror_lr=mirror_lr,
+        lr_impl=lr_impl, diag_roll=diag_roll)
 
     scratch = [pltpu.VMEM((D, W), jnp.float32)]
     if with_diag:

@@ -87,20 +87,25 @@ def _flat_roll_fwd(a, k: int, R: int, L: int, fill):
 
 
 def _sort_chunk_kernel(k_ref, v_ref, ko_ref, vo_ref, *, exchanges,
-                       n2: int, L: int):
+                       n2: int, L: int, group_rows: int = 0):
     """A chunk of bitonic compare-exchanges ((stage, k) pairs, in order).
 
-    Chunked because Mosaic's scoped-VMEM stack grows ~5 MB per unrolled
-    exchange at (1024, 1024): one kernel per outer stage (up to 20
-    exchanges) overflowed the 100 MB limit. Block is (1, R, L): the
+    Chunked because Mosaic's scoped-VMEM stack grows with each unrolled
+    exchange: one kernel per outer stage (up to 20 exchanges at
+    (1024, 1024)) overflowed the 100 MB limit. Block is (1, R, L): the
     grid iterates a BATCH of independent sorts per launch (r5: the
     ~43-launch chain per frame was paying ~0.5 ms/frame of launch
-    overhead under vmap's sequential lax.map)."""
+    overhead under vmap's sequential lax.map). With ``group_rows`` the
+    block is a (1, group_rows, L) slice of each sort (grid axis 1 walks
+    the groups) and the flat order offsets by the group base — valid
+    for exchanges whose XOR distance k stays below group_rows * L."""
     key, val = k_ref.at[0][:], v_ref.at[0][:]
     R = key.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     f = yio * L + xio
+    if group_rows:
+        f = f + pl.program_id(1) * (group_rows * L)
     for stage, k in exchanges:
         pk = _xor_partner(key, k, L)
         pv = _xor_partner(val, k, L)
@@ -115,17 +120,28 @@ def _sort_chunk_kernel(k_ref, v_ref, ko_ref, vo_ref, *, exchanges,
     vo_ref.at[0][:] = val
 
 
-def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
-                         L: int, chunk: int = 10):
-    """Ascending (key, val) bitonic sort as a chain of pallas_calls of
-    ``chunk`` compare-exchanges each, batched over the leading axis of
-    (B, R, L) arrays (one grid step per independent sort). A single
-    fully-unrolled kernel (210 exchanges at n2 = 2^20) took Mosaic
-    >25 min to compile and one kernel per outer stage overflowed scoped
-    VMEM; ~6-exchange chunks compile in seconds and keep the stack
-    ~30 MB. The extra HBM round-trips are 8 MB per chunk (~0.4 ms total
-    at 720p)."""
-    B, R, _ = key.shape
+_SORT_GROUPS = 4        # sub-blocks per sort for group-local exchanges
+_SORT_CHUNK_LOCAL = 24  # unrolled exchanges per local kernel
+_SORT_CHUNK_GLOBAL = 8  # unrolled exchanges per full-array kernel
+# r5 on-chip sweep (720p keep path, same-session A/B): runtime is flat
+# across (groups, chunk) in [3.6, 4.0] ms — the sort is VPU-bound by
+# total exchanges, not launches or HBM round-trips — but COMPILE time
+# varies 4x: small group blocks compile far faster (Mosaic cost grows
+# superlinearly with block size). g=4/cl=24/cg=8: ~45 s vs ~196 s for
+# the flat chain with 16-exchange chunks.
+
+
+def _exchange_buckets(n2: int, L: int, R: int, chunk_local: int,
+                      chunk_global: int):
+    """The bitonic schedule, bucketed into maximal in-order runs of
+    group-LOCAL exchanges (XOR distance < the group span, so a
+    (group_rows, L) block pairs only within itself) and GLOBAL ones.
+    Groups split R into 4 when the array is big enough: at n2 = 2^20
+    only 3 of 210 exchanges are global, so almost the whole sort runs
+    from 1 MB blocks with ~4x larger unrolled chunks (fewer launches
+    AND fewer HBM round-trips than the flat chunk-8 chain)."""
+    groups = _SORT_GROUPS if R >= 8 * _SORT_GROUPS else 1
+    span = (R // groups) * L
     exchanges = []
     stage = 2
     while stage <= n2:
@@ -134,15 +150,46 @@ def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
             exchanges.append((stage, k))
             k //= 2
         stage *= 2
-    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    for i in range(0, len(exchanges), chunk):
-        kernel = functools.partial(_sort_chunk_kernel,
-                                   exchanges=tuple(exchanges[i:i + chunk]),
-                                   n2=n2, L=L)
+    buckets = []          # (is_local, [(stage, k), ...])
+    for ex in exchanges:
+        local = ex[1] < span
+        cap = chunk_local if local else chunk_global
+        if buckets and buckets[-1][0] == local and len(
+                buckets[-1][1]) < cap:
+            buckets[-1][1].append(ex)
+        else:
+            buckets.append((local, [ex]))
+    return groups, buckets
+
+
+def _bitonic_sort_staged(key: jnp.ndarray, val: jnp.ndarray, n2: int,
+                         L: int, chunk: int = 8):
+    """Ascending (key, val) bitonic sort as a chain of pallas_calls,
+    batched over the leading axis of (B, R, L) arrays (one grid step per
+    independent sort). A single fully-unrolled kernel (210 exchanges at
+    n2 = 2^20) took Mosaic >25 min to compile and one kernel per outer
+    stage overflowed scoped VMEM. Group-local exchanges (see
+    _exchange_buckets) run on a (B, groups) grid of small blocks with
+    ~32-exchange chunks; only the few global exchanges stream the full
+    sort per step."""
+    B, R, _ = key.shape
+    groups, buckets = _exchange_buckets(
+        n2, L, R, chunk_local=_SORT_CHUNK_LOCAL,
+        chunk_global=_SORT_CHUNK_GLOBAL)
+    gr = R // groups
+    spec_g = pl.BlockSpec((1, gr, L), lambda b, g: (b, g, 0),
+                          memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    for local, exs in buckets:
+        grid = (B, groups) if local else (B,)
+        spec = spec_g if local else spec_f
+        kernel = functools.partial(
+            _sort_chunk_kernel, exchanges=tuple(exs), n2=n2, L=L,
+            group_rows=gr if local else 0)
         key, val = pl.pallas_call(
             kernel,
-            grid=(B,),
+            grid=grid,
             in_specs=[spec] * 2,
             out_specs=(spec,) * 2,
             out_shape=(jax.ShapeDtypeStruct((B, R, L), jnp.int32),) * 2,
@@ -354,16 +401,19 @@ def _counts_vmap_rule(axis_size, in_batched, labels):
 # ---------------------------------------------------------------------------
 
 
-def _sort_chunk_single_kernel(k_ref, ko_ref, *, exchanges, n2: int, L: int):
+def _sort_chunk_single_kernel(k_ref, ko_ref, *, exchanges, n2: int, L: int,
+                              group_rows: int = 0):
     """Chunk of compare-exchanges on ONE int32 array (no payload):
     new = take_min ? min(a, pk) : max(a, pk) — about half the VPU work
-    and half the VMEM traffic of the pair version. (1, R, L) blocks,
-    batch grid."""
+    and half the VMEM traffic of the pair version. Blocks/grids as in
+    _sort_chunk_kernel (group-local with ``group_rows``)."""
     key = k_ref.at[0][:]
     R = key.shape[0]
     yio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     xio = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
     f = yio * L + xio
+    if group_rows:
+        f = f + pl.program_id(1) * (group_rows * L)
     for stage, k in exchanges:
         pk = _xor_partner(key, k, L)
         up = (f & stage) == 0 if stage < n2 else jnp.bool_(True)
@@ -377,25 +427,23 @@ def _sort_chunk_single_kernel(k_ref, ko_ref, *, exchanges, n2: int, L: int):
 def _bitonic_sort_single(key: jnp.ndarray, n2: int, L: int,
                          chunk: int = 10) -> jnp.ndarray:
     B, R, _ = key.shape
-    exchanges = []
-    stage = 2
-    while stage <= n2:
-        k = stage // 2
-        while k >= 1:
-            exchanges.append((stage, k))
-            k //= 2
-        stage *= 2
-    spec = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    for i in range(0, len(exchanges), chunk):
-        kernel = functools.partial(_sort_chunk_single_kernel,
-                                   exchanges=tuple(exchanges[i:i + chunk]),
-                                   n2=n2, L=L)
+    groups, buckets = _exchange_buckets(
+        n2, L, R, chunk_local=_SORT_CHUNK_LOCAL,
+        chunk_global=_SORT_CHUNK_GLOBAL)
+    gr = R // groups
+    spec_g = pl.BlockSpec((1, gr, L), lambda b, g: (b, g, 0),
+                          memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    for local, exs in buckets:
+        kernel = functools.partial(
+            _sort_chunk_single_kernel, exchanges=tuple(exs), n2=n2, L=L,
+            group_rows=gr if local else 0)
         key = pl.pallas_call(
             kernel,
-            grid=(B,),
-            in_specs=[spec],
-            out_specs=spec,
+            grid=(B, groups) if local else (B,),
+            in_specs=[spec_g if local else spec_f],
+            out_specs=spec_g if local else spec_f,
             out_shape=jax.ShapeDtypeStruct((B, R, L), jnp.int32),
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(

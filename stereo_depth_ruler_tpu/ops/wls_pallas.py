@@ -98,9 +98,9 @@ def _fgs_pass_pallas(u: jnp.ndarray, guide: jnp.ndarray, lam: float,
                      rows_per_step: int = 64) -> jnp.ndarray:
     """u: (B, H, W) RHS stack; guide: (H, W). Solves along the last axis."""
     B, H, W = u.shape
-    K = rows_per_step
-    while H % K:
-        K //= 2
+    # largest divisor of H <= rows_per_step (the old halving loop fell
+    # from 64 straight to 16 at H=720, quartering the VPU block size)
+    K = max(k for k in range(1, rows_per_step + 1) if H % k == 0)
     kernel = functools.partial(_fgs_pass_kernel, lam=float(lam),
                                sigma=float(sigma), refine=refine)
     return pl.pallas_call(
@@ -142,13 +142,17 @@ _GBIG = 1e9   # python float: jnp scalars become captured consts in-kernel
 
 
 def _shift_gather_kernel(v_ref, s_ref, o_ref, *, D: int, K: int,
-                         fill: float):
-    """out[y, x] = v[y, x - s(y, x)] for s in [0, D); out-of-range s or
-    x - s < 0 -> ``fill``. The variable-distance lane gather is realized
-    as log2(D) conditional whole-block rolls of a (K, D, W) broadcast
-    (bit decomposition of the shift) + a min-select on the shift row —
-    pure VPU; jnp.take_along_axis's generic TPU gather measured 10.7 ms
-    at 720p vs ~2 ms for this kernel."""
+                         fill: float, max_s: int, top: int = 0):
+    """out[y, x] = v[y, x - s(y, x)] for s in [0, max_s]; out-of-range s
+    or x - s < 0 -> ``fill`` (deterministic contract). The variable-
+    distance lane gather is realized as log2(D) conditional whole-block
+    rolls of a (K, D, W) broadcast (bit decomposition of the shift) + a
+    min-select on the shift row — pure VPU; jnp.take_along_axis's
+    generic TPU gather measured 10.7 ms at 720p vs ~2 ms for this
+    kernel. ``top``: s == D exactly (the max_shift = power-of-two case,
+    e.g. disparity 128.0 at 128 disparities) is handled by ONE extra
+    whole-map roll instead of doubling the pyramid to 2D planes —
+    halves the kernel's VPU work for the product config."""
     v = v_ref[:]                                   # (K, W)
     s = s_ref[:]                                   # (K, W) int32
     W = v.shape[-1]
@@ -161,6 +165,11 @@ def _shift_gather_kernel(v_ref, s_ref, o_ref, *, D: int, K: int,
         k *= 2
     sel = (dio == s[:, None, :]) & (xio >= dio)
     out = jnp.min(jnp.where(sel, sh, jnp.float32(_GBIG)), axis=1)
+    if top:
+        xio2 = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
+        vtop = pltpu.roll(v, D % W, 1)
+        out = jnp.where((s == D) & (xio2 >= D), vtop, out)
+    out = jnp.where(s <= max_s, out, jnp.float32(_GBIG))
     o_ref[:] = jnp.where(out < _GBIG * 0.5, out, jnp.float32(fill))
 
 
@@ -170,13 +179,17 @@ def shift_gather_pallas(values: jnp.ndarray, shift: jnp.ndarray,
     """(H, W) per-element left-shift gather: out[y,x] = values[y, x-s]."""
     H, W = values.shape
     D = 1
-    while D < max_shift + 1:
+    while D < max_shift:
         D *= 2
+    top = int(D == max_shift)      # power-of-two max: 1 extra roll
+    if not top:
+        D *= 2 if D < max_shift + 1 else 1
     K = rows_per_step
     while H % K:
         K //= 2
     kernel = functools.partial(_shift_gather_kernel, D=D, K=K,
-                               fill=float(fill))
+                               fill=float(fill), max_s=int(max_shift),
+                               top=top)
     spec = pl.BlockSpec((K, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

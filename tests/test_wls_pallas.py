@@ -54,7 +54,8 @@ def test_shift_gather_kernel():
                                              jnp.asarray(s), D, -7.0))
     xs = np.arange(W)[None, :]
     src = xs - s
-    ok = (s >= 0) & (s < 2 ** int(np.ceil(np.log2(D + 1)))) & (src >= 0)
+    # contract (r5): s in [0, max_shift] gathered, anything else filled
+    ok = (s >= 0) & (s <= D) & (src >= 0)
     ref = np.where(ok, v[np.arange(H)[:, None], np.clip(src, 0, W - 1)],
                    -7.0)
     np.testing.assert_array_equal(got, ref.astype(np.float32))

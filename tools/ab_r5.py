@@ -120,8 +120,8 @@ def main():
         for mode in (False, True):
             timed(lambda c, a, m=mode: sp.directional_pass_pallas(
                 c, P1, P2, False, True, acc=a, out_offset=-bias,
-                roll_shift=m),
-                (C, S_h), args.iters, f"down 3-path +acc roll_shift={mode}")
+                diag_roll=m),
+                (C, S_h), args.iters, f"down 3-path +acc diag_roll={mode}")
     if "hor" in stages:
         for mode in (False, True):
             timed(lambda c, m=mode: sp.directional_pass_pallas(
@@ -131,9 +131,15 @@ def main():
                 c, P1, P2, True, False, acc=a, roll_shift=m),
                 (Ct, hf), args.iters, f"horizontal bwd +acc roll_shift={mode}")
     if "up" in stages:
+        for impl in ("pyramid", "rolling"):
+            timed(lambda c, s, m=impl: sp.up_wta_pallas(
+                c, s, None, params, apply_lr=True, with_diag=True,
+                sd_offset=bias, lr_impl=m),
+                (C, S_dh), args.iters, f"fused up+WTA+LR lr_impl={impl}")
         timed(lambda c, s: sp.up_wta_pallas(
             c, s, None, params, apply_lr=True, with_diag=True,
-            sd_offset=bias), (C, S_dh), args.iters, "fused up+WTA+LR")
+            sd_offset=bias, diag_roll=True),
+            (C, S_dh), args.iters, "fused up+WTA+LR diag_roll=True")
     if "speckle" in stages:
         disp = jax.block_until_ready(jax.jit(
             lambda c, s: sp.up_wta_pallas(c, s, None, params, apply_lr=True,
