@@ -16,10 +16,11 @@ import numpy as np
 
 H, W, D = 720, 1280, 128
 # per-Pallas-launch overhead measured ~0.5 ms through the runtime; batching
-# folds the batch into each kernel's grid to amortize it. Batch 4 compiles
-# in ~110 s; batch 8 hit a pathological >10 min XLA compile (measured this
-# session) for a <1 ms/frame gain — not worth the bench-timeout risk.
-BATCH = 4
+# folds the batch into each kernel's grid to amortize it. r5: the sort
+# restructure cured the r4 batch-8 compile pathology (>10 min); batch 8 now
+# compiles in ~75 s and measures 70.3 vs 68.5 fps at batch 4. Batch 16
+# measured no further gain (69.7).
+BATCH = 8
 
 
 def log(*a):
