@@ -98,9 +98,12 @@ def _fgs_pass_pallas(u: jnp.ndarray, guide: jnp.ndarray, lam: float,
                      rows_per_step: int = 64) -> jnp.ndarray:
     """u: (B, H, W) RHS stack; guide: (H, W). Solves along the last axis."""
     B, H, W = u.shape
-    # largest divisor of H <= rows_per_step (the old halving loop fell
-    # from 64 straight to 16 at H=720, quartering the VPU block size)
-    K = max(k for k in range(1, rows_per_step + 1) if H % k == 0)
+    # largest divisor of H <= rows_per_step that satisfies Mosaic's
+    # 8-sublane block rule (the old halving loop fell from 64 straight
+    # to 16 at H=720, quartering the VPU block size; 720 -> 48 here)
+    ks = [k for k in range(8, rows_per_step + 1, 8) if H % k == 0]
+    K = max(ks) if ks else max(
+        k for k in range(1, rows_per_step + 1) if H % k == 0)
     kernel = functools.partial(_fgs_pass_kernel, lam=float(lam),
                                sigma=float(sigma), refine=refine)
     return pl.pallas_call(

@@ -63,11 +63,14 @@ class PipelineConfig:
     pair_mode: str = "stacked"    # "stacked" | "shared" — shared reuses
     #                               ONE cost volume for both matchers via
     #                               the BT shear (sgbm_pair_pallas;
-    #                               bit-identical, tested) but measured
-    #                               ~4% slower than the batched stacked
-    #                               path on v5e (r4): batch amortization
-    #                               across every stage beats the saved
-    #                               cost build
+    #                               bit-identical, tested) but loses the
+    #                               committed batch-4 A/B (AB_PAIR_r05:
+    #                               29.6 vs 27.8 fps full pipeline):
+    #                               batch amortization across every
+    #                               DP/sort stage beats the saved cost
+    #                               build. At batch 1 shared DOES win
+    #                               (PROFILE_r04: 17.5 vs 31.6 ms) —
+    #                               pick it for single-frame latency.
     wls_kernel: str = "auto"      # "auto" | "pallas" | "jnp" — Pallas FGS
     #                               solves the tridiagonal systems VMEM-
     #                               resident (~6 launches vs ~1850 sweeps)
