@@ -839,6 +839,27 @@ def sgbm_pallas(left: jnp.ndarray, right: jnp.ndarray,
         # the XLA transpose + extra volume pass it saves) — kept for the
         # tile path experiments but not used here.
         #
+        # r5 device-trace accounting (PROFILE_r05.log, batch 8,
+        # jax.profiler — the chained harness overestimates stages
+        # ~40%): cost 2.09, copies 2.28 (3x XLA at ~76% HBM SoL),
+        # hf/hb/down 0.84/1.15/1.11, up+WTA 3.09, speckle 2.93,
+        # total 13.73 ms/frame. r5 experiments measured and REJECTED:
+        #   - d-on-lanes (H,W,D) layout: isolated min-reduce over d is
+        #     2.9x faster on lanes, but a realistic 3-path down-like
+        #     kernel measured 4.57 ms vs 3.05 for the current
+        #     d-on-sublanes form (the x-axis sublane rolls and lane
+        #     broadcasts eat the reduce win);
+        #   - stacked (3, D, W) carries (one fused update for all 3
+        #     paths): 3.04 vs 3.05 — op-issue overhead is not the
+        #     bottleneck;
+        #   - 2 disparities per cost iteration: 3.11 vs 3.07;
+        #   - cost kernel emitting (H, D, W) via group-aligned stores:
+        #     +0.64 ms in-kernel vs the 0.75 ms XLA copy it saves;
+        #   - one-sided BT (drop the c_rl branch): -0.25 ms device but
+        #     diverges from cv2's min(c_lr, c_rl) formula for ~2% MAE
+        #     change — parity kept instead;
+        #   - larger K slabs (down K=24/48, up K=16): flat or OOM.
+        #
         # r4 relayout experiments (all bit-parity-tested, measured on
         # v5e at 720p/128, same session A/B):
         #   - d-major cost + per-slab VMEM leading transpose in the
