@@ -124,9 +124,12 @@ def bench_tpu(rig, lefts, rights, iters=8, use_pallas=True):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     float(chained(lb, rb))  # compile
-    t0 = time.perf_counter()
-    float(chained(lb, rb))
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(3):      # median of 3 chained reps (run noise ~±1 fps)
+        t0 = time.perf_counter()
+        float(chained(lb, rb))
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
     return iters * lb.shape[0] / dt
 
 
@@ -166,9 +169,12 @@ def bench_tpu_full_pipeline(rig, lefts, rights, iters=6):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     float(chained(lb, rb))  # compile
-    t0 = time.perf_counter()
-    float(chained(lb, rb))
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(lb, rb))
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
     return iters * lb.shape[0] / dt
 
 

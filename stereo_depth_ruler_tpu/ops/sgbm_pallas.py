@@ -1146,7 +1146,7 @@ def sgbm_tile_pallas(C: jnp.ndarray, params: SGBMParams,
 
 def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
               quantize_16: bool, disp12: int = -1, mirror_lr: bool = False,
-              lr_impl: str = "pyramid"):
+              lr_impl: str = "grouped"):
     """(R, D, W) summed path volume -> (disp, valid, packed) maps.
 
     WTA + uniqueness + subpixel in one vectorized body; shared by the
@@ -1205,7 +1205,83 @@ def _wta_body(S, *, D: int, R: int, min_disp: int, uniq: int,
 
     packed = key + min_disp        # == s0i * PK + d_star_i + min_disp
 
-    if disp12 >= 0 and min_disp >= 0 and lr_impl == "pyramid":
+    if (disp12 >= 0 and min_disp >= 0 and lr_impl == "grouped"
+            and D % 8 == 0):
+        # Two-level winner-scatter LR (r5): decompose the shift
+        # q = 8a + r. COARSE: (R, D/8, W) planes hold packed(x + 8a)
+        # via log2(D/8) conditional rolls on 1/8 the volume. RESIDUAL:
+        # 8 serial uniform one-lane rolls advance all planes together;
+        # each step masks/min-accumulates the planes whose q = 8a + r
+        # matches. Total VPU traffic ~7.6 (R, D/8, W)-vol-equivalents
+        # vs ~19 full-volume ops for the flat log2(D) pyramid — and
+        # only 8 serial steps on big blocks, avoiding the 2*D-step
+        # latency chain that sank the map-level rolling register
+        # (same-session A/B: up+WTA 5.62 pyramid / 6.43 rolling).
+        # Exact: integer min-accumulation is order-independent.
+        md = min_disp
+        W = S.shape[2]
+        A = D // 8
+        BIGP = jnp.int32(2 ** 30)
+        aio8 = 8 * jax.lax.broadcasted_iota(jnp.int32, (R, A, W), 1)
+        xioA = jax.lax.broadcasted_iota(jnp.int32, (R, A, W), 2)
+
+        def lroll(a, k):
+            return pltpu.roll(a, (k % W) if mirror_lr
+                              else (W - k % W) % W, 2)
+
+        def rroll(a, k):
+            return pltpu.roll(a, (W - k % W) % W if mirror_lr
+                              else (k % W), 2)
+
+        # --- phase 1: disp2p(x) = min over q of packed(x+q+md)
+        # restricted to source columns whose winner is exactly q+md
+        C1 = jnp.broadcast_to(packed[:, None, :], (R, A, W))
+        if md % W:
+            C1 = lroll(C1, md)
+        k = 8
+        while k < D:
+            C1 = jnp.where((aio8 & k) != 0, lroll(C1, k), C1)
+            k *= 2
+        acc = jnp.full((R, A, W), BIGP, jnp.int32)
+        for r in range(8):
+            q = aio8 + r + md              # (R, A, W) shift per plane
+            src_ok = (xioA >= q) if mirror_lr else (xioA + q < W)
+            ok = ((C1 & (PK - 1)) == q) & src_ok
+            acc = jnp.minimum(acc, jnp.where(ok, C1, BIGP))
+            if r < 7:
+                C1 = lroll(C1, 1)
+        disp2p = jnp.min(acc, axis=1)                            # (R, W)
+        disp2 = jnp.where(disp2p < BIGP,
+                          (disp2p & (PK - 1)).astype(jnp.float32), -1.0)
+
+        # --- phase 2: cand(x) = disp2[x_r], x_r = x -/+ round(disp);
+        # out-of-image x_r -> sentinel -2 (consistent by convention)
+        rd = jnp.round(disp)                                     # (R, W)
+        rdb = rd[:, None, :]
+        C2 = jnp.broadcast_to(disp2[:, None, :], (R, A, W))
+        if md % W:
+            C2 = rroll(C2, md)
+        k = 8
+        while k < D:
+            C2 = jnp.where((aio8 & k) != 0, rroll(C2, k), C2)
+            k *= 2
+        cand = jnp.full((R, A, W), _BIG, jnp.float32)
+        for r in range(8):
+            q = aio8 + r + md
+            oob = (xioA > W - 1 - q) if mirror_lr else (xioA < q)
+            v = jnp.where(oob, jnp.float32(-2.0), C2)
+            cand = jnp.minimum(cand,
+                               jnp.where(rdb == q.astype(jnp.float32),
+                                         v, _BIG))
+            if r < 7:
+                C2 = rroll(C2, 1)
+        cand = jnp.min(cand, axis=1)                             # (R, W)
+        ok = (((cand >= 0.0) & (jnp.abs(cand - disp) <= disp12))
+              | (cand <= -1.5) | (cand >= _BIG * 0.5))
+        valid = valid * jnp.where(ok, 1.0, 0.0)
+
+    elif disp12 >= 0 and min_disp >= 0 and lr_impl in ("pyramid",
+                                                       "grouped"):
         # Winner-scatter LR consistency as log2(D) whole-(R, D, W) roll
         # pyramids (the r4 product path). The "rolling" map-level
         # register below moves ~14x fewer elements but is a chain of
@@ -1388,7 +1464,7 @@ def _up_wta_kernel(c_ref, sd_ref, *refs, P1: float, P2: float,
                    with_diag: bool, D: int, K: int, min_disp: int,
                    uniq: int, quantize_16: bool, disp12: int = -1,
                    sd_offset: float = 0.0, c_dmajor: bool = False,
-                   mirror_lr: bool = False, lr_impl: str = "pyramid",
+                   mirror_lr: bool = False, lr_impl: str = "grouped",
                    diag_roll: bool = False):
     """Fused bottom-up DP pass + WTA: one slab of K rows per grid step
     (grid scans H bottom-up). The up-path contributions never touch HBM —
@@ -1455,7 +1531,7 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
                   sd_offset: float = 0.0,
                   c_dmajor: bool = False,
                   mirror_lr: bool = False,
-                  lr_impl: str = "pyramid",
+                  lr_impl: str = "grouped",
                   diag_roll: bool = True) -> jnp.ndarray:
     """Fused up-pass (+diagonals) + WTA: (H, D, W) cost + the partial
     path sums -> (H, W) float32 disparity, -1 invalid. Bit-compatible

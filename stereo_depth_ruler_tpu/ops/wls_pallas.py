@@ -159,15 +159,40 @@ def _shift_gather_kernel(v_ref, s_ref, o_ref, *, D: int, K: int,
     v = v_ref[:]                                   # (K, W)
     s = s_ref[:]                                   # (K, W) int32
     W = v.shape[-1]
-    dio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 1)
-    xio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 2)
-    sh = jnp.broadcast_to(v[:, None, :], (K, D, W))
-    k = 1
-    while k < D:
-        sh = jnp.where((dio & k) != 0, pltpu.roll(sh, k % W, 2), sh)
-        k *= 2
-    sel = (dio == s[:, None, :]) & (xio >= dio)
-    out = jnp.min(jnp.where(sel, sh, jnp.float32(_GBIG)), axis=1)
+    sb = s[:, None, :]
+    if D % 8 == 0 and D >= 16:
+        # two-level shift decomposition (r5, mirrors the grouped LR in
+        # sgbm_pallas._wta_body): coarse (K, D/8, W) planes at shifts
+        # {0, 8, ...} via log2(D/8) conditional rolls on 1/8 the
+        # volume, then 8 serial uniform one-lane rolls with masked
+        # min-accumulation — ~2.5x less VPU traffic than the flat
+        # log2(D)-plane pyramid
+        A = D // 8
+        aio8 = 8 * jax.lax.broadcasted_iota(jnp.int32, (K, A, W), 1)
+        xio = jax.lax.broadcasted_iota(jnp.int32, (K, A, W), 2)
+        sh = jnp.broadcast_to(v[:, None, :], (K, A, W))
+        k = 8
+        while k < D:
+            sh = jnp.where((aio8 & k) != 0, pltpu.roll(sh, k % W, 2), sh)
+            k *= 2
+        acc = jnp.full((K, A, W), _GBIG, jnp.float32)
+        for r in range(8):
+            q = aio8 + r
+            sel = (sb == q) & (xio >= q)
+            acc = jnp.minimum(acc, jnp.where(sel, sh, jnp.float32(_GBIG)))
+            if r < 7:
+                sh = pltpu.roll(sh, 1, 2)
+        out = jnp.min(acc, axis=1)
+    else:
+        dio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 1)
+        xio = jax.lax.broadcasted_iota(jnp.int32, (K, D, W), 2)
+        sh = jnp.broadcast_to(v[:, None, :], (K, D, W))
+        k = 1
+        while k < D:
+            sh = jnp.where((dio & k) != 0, pltpu.roll(sh, k % W, 2), sh)
+            k *= 2
+        sel = (dio == sb) & (xio >= dio)
+        out = jnp.min(jnp.where(sel, sh, jnp.float32(_GBIG)), axis=1)
     if top:
         xio2 = jax.lax.broadcasted_iota(jnp.int32, (K, W), 1)
         vtop = pltpu.roll(v, D % W, 1)
