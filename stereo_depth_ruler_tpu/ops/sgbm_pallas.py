@@ -1554,12 +1554,16 @@ def up_wta_pallas(C: jnp.ndarray, S_down: jnp.ndarray,
     assert K % 8 == 0, (H, rows_per_step)
     idx = lambda i: (H // K - 1 - i, 0, 0)
 
-    # in-kernel LR builds ~6 (K, D, W) i32/f32 shear temporaries; above
-    # ~2M elements per slab (e.g. the 2560x1440x256 sweep) that overflows
-    # the 128 MB VMEM — fall back to the XLA winner-scatter finalize
+    # the grouped two-level LR builds (K, D/8, W) temporaries (1/8 the
+    # old full-pyramid shears), so slabs up to ~8M elements fit VMEM —
+    # this brings the 2560x1440x256 sweep's LR in-kernel (it used to
+    # fall back to the XLA winner-scatter finalize above 2M). The flat
+    # pyramid keeps the old 2M gate.
+    lr_cap = (8 * 1024 * 1024 if (lr_impl == "grouped" and D % 8 == 0)
+              else 2 * 1024 * 1024)
     lr_in_kernel = (apply_lr and params.disp12_max_diff >= 0
                     and params.min_disparity >= 0
-                    and K * D * W <= 2 * 1024 * 1024)
+                    and K * D * W <= lr_cap)
     kernel = functools.partial(
         _up_wta_kernel, P1=float(params.P1), P2=float(params.P2),
         with_diag=with_diag, D=D, K=K, min_disp=params.min_disparity,
