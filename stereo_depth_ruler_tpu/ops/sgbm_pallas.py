@@ -1778,6 +1778,133 @@ def speckle_labels_pallas(disp: jnp.ndarray, max_diff: float,
     return _labels_fn(float(max_diff), int(max_iters))(disp)
 
 
+def _propagate_keep_kernel(lab_ref, seed_ref, out_ref, *, H: int, W: int,
+                           max_iters: int = 0):
+    """Converged OR-propagation of per-pixel seed bits over CCL
+    components (4-connectivity = label equality of neighbors).
+
+    Same segmented doubling sweeps + convergence while_loop as
+    _speckle_labels_kernel, with (min, BIGI) replaced by (max, 0): a
+    component's OR is reached exactly when its min label would be. Used
+    by the seeded speckle keep path: seeds sit at the roots of LARGE
+    components only, so the converged bit field is precisely
+    ``component size > max_size`` for every valid pixel."""
+    lab = lab_ref[:]
+    sent = jnp.int32(H * W)
+    yio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    ok = lab != sent
+    c_h = jnp.where((xio >= 1) & ok & (pltpu.roll(lab, 1, 1) == lab),
+                    one, zero)
+    c_v = jnp.where((yio >= 1) & ok & (pltpu.roll(lab, 1, 0) == lab),
+                    one, zero)
+
+    def sweep(bit, conn, axis, size, reverse):
+        io = xio if axis == 1 else yio
+        if reverse:
+            c = jnp.where(io < size - 1, pltpu.roll(conn, size - 1, axis),
+                          zero)
+        else:
+            c = conn
+        val = bit
+        k = 1
+        while k < size:
+            if reverse:
+                v_n = jnp.where(io >= size - k, zero,
+                                pltpu.roll(val, size - k, axis))
+                c_n = jnp.where(io >= size - k, zero,
+                                pltpu.roll(c, size - k, axis))
+            else:
+                v_n = jnp.where(io < k, zero, pltpu.roll(val, k, axis))
+                c_n = jnp.where(io < k, zero, pltpu.roll(c, k, axis))
+            val = jnp.where(c > 0, jnp.maximum(val, v_n), val)
+            c = c * c_n
+            k *= 2
+        return val
+
+    def body(state):
+        bit, _, it = state
+        new = sweep(bit, c_h, 1, W, False)
+        new = sweep(new, c_h, 1, W, True)
+        new = sweep(new, c_v, 0, H, False)
+        new = sweep(new, c_v, 0, H, True)
+        return new, jnp.any(new != bit), it + 1
+
+    def cond(state):
+        if max_iters > 0:
+            return state[1] & (state[2] < max_iters)
+        return state[1]
+
+    bit, _, _ = jax.lax.while_loop(cond, body,
+                                   (seed_ref[:], jnp.bool_(True),
+                                    jnp.int32(0)))
+    out_ref[:] = bit
+
+
+def _propagate_keep_batched(labels: jnp.ndarray, seed: jnp.ndarray,
+                            max_iters: int = 0) -> jnp.ndarray:
+    B, H, W = labels.shape
+    kernel = functools.partial(_propagate_keep_kernel, H=H, W=W,
+                               max_iters=max_iters)
+    spec = pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        lambda l_ref, s_ref, o_ref: kernel(l_ref.at[0], s_ref.at[0],
+                                           o_ref.at[0]),
+        grid=(B,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(labels, seed)
+
+
+def _speckle_keep_seeded_batched(labels: jnp.ndarray, max_size: int,
+                                 max_iters: int = 0) -> jnp.ndarray:
+    """(B, H, W) labels -> keep mask via the seeded path: key-only sort,
+    large-run root extraction, an 8K-index XLA scatter (measured
+    ~7 us/frame), and converged OR-propagation. Replaces the (key, pos)
+    pair sort + packed unpermute sort of speckle_keep_pallas — ~1.2 ms
+    cheaper per 720p frame on v5e (the unpermute sort is gone entirely
+    and the remaining sort carries no payload)."""
+    from .sort_tpu import large_run_roots, sorted_labels
+    B, H, W = labels.shape
+    skey, n, n2, L, R = sorted_labels(labels)
+    roots = large_run_roots(skey, n2, L, max_size).reshape(B, -1)
+    safe = jnp.where((roots >= 0) & (roots < n), roots, n2)
+    seed = jnp.zeros((B, n2), jnp.int32).at[
+        jnp.arange(B)[:, None], safe].set(1, mode="drop")
+    seed = seed[:, :n].reshape(B, H, W)
+    return _propagate_keep_batched(labels, seed, max_iters) != 0
+
+
+@functools.lru_cache(maxsize=None)
+def _keep_seeded_fn(max_size: int, max_iters: int):
+    @jax.custom_batching.custom_vmap
+    def f(labels):
+        return _speckle_keep_seeded_batched(labels[None], max_size,
+                                            max_iters)[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, labels):
+        del axis_size, in_batched
+        return _speckle_keep_seeded_batched(labels, max_size,
+                                            max_iters), True
+
+    return f
+
+
+def speckle_keep_seeded(labels: jnp.ndarray, max_size: int,
+                        max_iters: int = 0) -> jnp.ndarray:
+    """Per-pixel bool: component size > max_size, for VALID pixels (the
+    sentinel component always reads False here, unlike
+    speckle_keep_pallas, whose callers mask it with `valid` anyway)."""
+    return _keep_seeded_fn(int(max_size), int(max_iters))(labels)
+
+
 def component_sizes_sorted(labels: jnp.ndarray) -> jnp.ndarray:
     """Per-element count of equal values in ``labels`` (any shape, int32).
 
@@ -1812,15 +1939,24 @@ def speckle_filter_pallas(disp: jnp.ndarray, max_size: int,
     counting all label occurrences equals the valid-only histogram for
     valid pixels; invalid pixels are masked below.
 
-    Sizes come from the VMEM bitonic-sort kernel (ops/sort_tpu.py, ~4x
-    faster than the XLA double lax.sort at 720p) when the map fits in
-    VMEM; larger maps (e.g. the 2560x1440 sweep) use the XLA-sort
-    fallback."""
+    The keep mask comes from the seeded path (key-only VMEM bitonic
+    sort + large-root seeds + OR-propagation, speckle_keep_seeded —
+    ~2x cheaper than the pair-sort + unpermute-sort path at 720p on
+    v5e) when the map fits in VMEM; tiny max_size values where the
+    per-row slot bound blows up fall back to the sort-based keep, and
+    larger maps (e.g. the 2560x1440 sweep) use the XLA-sort fallback."""
     labels = speckle_labels_pallas(disp, max_diff, max_iters)
     valid = disp >= 0
     if labels.size <= 2 ** 21:
-        from .sort_tpu import speckle_keep_pallas
-        keep = speckle_keep_pallas(labels, max_size)
+        L = min(1 << max(labels.size - 1, 1).bit_length(), 1024)
+        # seeded path requires CONVERGED labels: under a max_iters cap a
+        # label value need not equal its own root pixel's label, so the
+        # scatter could seed a pixel outside the counted run
+        if max_iters == 0 and -(-L // (max_size + 1)) <= 256:
+            keep = speckle_keep_seeded(labels, max_size)
+        else:
+            from .sort_tpu import speckle_keep_pallas
+            keep = speckle_keep_pallas(labels, max_size)
     else:
         keep = component_sizes_sorted(labels) > max_size
     return valid & keep

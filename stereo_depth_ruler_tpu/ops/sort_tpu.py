@@ -502,6 +502,74 @@ def _speckle_keep_batched(labels: jnp.ndarray, max_size: int):
         jnp.bool_).reshape(labels.shape)
 
 
+# ---------------------------------------------------------------------------
+# seeded keep path: key-only sort + large-root extraction (no unpermute)
+# ---------------------------------------------------------------------------
+
+
+def _large_roots_kernel(sk_ref, o_ref, *, n2: int, L: int, max_size: int,
+                        slots: int):
+    """Sorted labels -> per-sublane-row root indices of LARGE runs.
+
+    A sorted run is large (length > max_size) iff the element max_size
+    positions ahead still holds the same value — one flat roll replaces
+    the full run-length doubling scan. Starts of distinct large runs are
+    > max_size apart in flat order, so a row of L flat positions holds at
+    most ceil(L / (max_size + 1)) of them: `slots` iterations of a
+    lane max-reduce + eliminate extract every one, emitting (R, slots)
+    root indices (-1 = empty slot). The run's VALUE is the component
+    label = the root pixel's flat index (CCL labels are min flat index
+    per component), which is what the seeded propagation needs."""
+    skey = sk_ref.at[0][:]
+    R = skey.shape[0]
+    prev = _flat_roll(skey, 1, R, L, _INF - 1)
+    start = skey != prev
+    ahead = _flat_roll_fwd(skey, max_size, R, L, -1)
+    large = start & (ahead == skey)
+    v = jnp.where(large, skey + 1, 0)
+    cols = []
+    for _ in range(slots):
+        m = jnp.max(v, axis=1, keepdims=True)
+        cols.append(m)
+        v = jnp.where(v == m, 0, v)
+    out = jnp.concatenate(cols, axis=1) - 1
+    pad = o_ref.shape[-1] - slots           # lane-dim alignment padding
+    if pad:
+        out = jnp.concatenate(
+            [out, jnp.full((R, pad), -1, jnp.int32)], axis=1)
+    o_ref.at[0][:, :] = out
+
+
+def large_run_roots(skey: jnp.ndarray, n2: int, L: int,
+                    max_size: int) -> jnp.ndarray:
+    """(B, R, L) SORTED label blocks -> (B, R, slots) large-run values
+    (component roots), -1-padded. See _large_roots_kernel."""
+    B, R, _ = skey.shape
+    slots = -(-L // (max_size + 1))
+    slots_pad = -(-slots // 128) * 128      # Mosaic lane-dim tiling
+    kernel = functools.partial(_large_roots_kernel, n2=n2, L=L,
+                               max_size=int(max_size), slots=slots)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, R, L), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, R, slots_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, slots_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(skey)
+
+
+def sorted_labels(labels: jnp.ndarray):
+    """(B, ...) labels -> key-only-sorted (B, R, L) blocks + geometry.
+    Half the VPU work and VMEM traffic of the (key, pos) pair sort: the
+    seeded keep path never needs the positions."""
+    key, n, n2, L, R = _pack_batched(labels)
+    return _bitonic_sort_single(key, n2, L), n, n2, L, R
+
+
 @functools.lru_cache(maxsize=None)
 def _keep_fn(max_size: int):
     @jax.custom_batching.custom_vmap

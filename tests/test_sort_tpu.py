@@ -57,3 +57,63 @@ def test_speckle_keep_vmap():
         got = np.asarray(jax.vmap(
             lambda l: speckle_keep_pallas(l, 5))(jnp.asarray(lab)))
     np.testing.assert_array_equal(got, ref)
+
+
+def _keep_ref(disp, max_size, max_diff):
+    """Flood-fill reference keep mask over real CCL components."""
+    from stereo_depth_ruler_tpu.ops import sgbm as js
+    return np.asarray(js.speckle_filter(jnp.asarray(disp),
+                                        jnp.asarray(disp) >= 0,
+                                        max_size, max_diff))
+
+
+@pytest.mark.parametrize("max_size", [3, 8, 50])
+def test_speckle_keep_seeded(max_size):
+    """Seeded keep path (key-only sort + root seeds + OR-propagation)
+    == the jnp CCL speckle filter, on noisy disparity maps."""
+    from stereo_depth_ruler_tpu.ops import sgbm_pallas as sp
+    rng = np.random.default_rng(max_size)
+    disp = rng.integers(0, 5, (40, 70)).astype(np.float32)
+    disp[rng.uniform(size=disp.shape) < 0.25] = -1.0
+    ref = _keep_ref(disp, max_size, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        labels = sp.speckle_labels_pallas(jnp.asarray(disp), 1.0)
+        keep = np.asarray(sp.speckle_keep_seeded(labels, max_size))
+    np.testing.assert_array_equal((disp >= 0) & keep, ref)
+
+
+def test_speckle_keep_seeded_threshold_boundary():
+    """Components of exactly max_size are removed; max_size+1 kept
+    (cv::filterSpeckles: strictly-greater survives)."""
+    from stereo_depth_ruler_tpu.ops import sgbm_pallas as sp
+    disp = np.full((16, 130), -1.0, np.float32)
+    disp[2, 10:15] = 3.0          # size 5 == max_size -> removed
+    disp[5, 20:26] = 3.0          # size 6 -> kept
+    # snaky component, size 5+4+5 = 14 -> kept
+    disp[8, 40:45] = 2.0
+    disp[9:13, 44] = 2.0
+    disp[12, 40:44] = 2.0
+    ref = _keep_ref(disp, 5, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        labels = sp.speckle_labels_pallas(jnp.asarray(disp), 1.0)
+        keep = np.asarray(sp.speckle_keep_seeded(labels, 5))
+    np.testing.assert_array_equal((disp >= 0) & keep, ref)
+    assert not keep[2, 12] and keep[5, 22] and keep[12, 41]
+
+
+def test_speckle_keep_seeded_vmap_matches_sorted():
+    """Batched seeded path == the pair-sort keep path on valid pixels."""
+    from stereo_depth_ruler_tpu.ops import sgbm_pallas as sp
+    from stereo_depth_ruler_tpu.ops.sort_tpu import speckle_keep_pallas
+    rng = np.random.default_rng(4)
+    disp = rng.integers(0, 4, (3, 24, 40)).astype(np.float32)
+    disp[rng.uniform(size=disp.shape) < 0.3] = -1.0
+    with pltpu.force_tpu_interpret_mode():
+        labels = jax.vmap(
+            lambda d: sp.speckle_labels_pallas(d, 1.0))(jnp.asarray(disp))
+        a = np.asarray(jax.vmap(
+            lambda l: sp.speckle_keep_seeded(l, 6))(labels))
+        b = np.asarray(jax.vmap(
+            lambda l: speckle_keep_pallas(l, 6))(labels))
+    valid = disp >= 0
+    np.testing.assert_array_equal(a & valid, b & valid)
