@@ -1873,7 +1873,11 @@ def _speckle_keep_seeded_batched(labels: jnp.ndarray, max_size: int,
     from .sort_tpu import large_run_roots, sorted_labels
     B, H, W = labels.shape
     skey, n, n2, L, R = sorted_labels(labels)
-    roots = large_run_roots(skey, n2, L, max_size).reshape(B, -1)
+    slots = -(-L // (max_size + 1))
+    # the kernel's slot axis is lane-padded to 128; scatter only the
+    # real slots (128-wide scatters measured 0.64 ms/frame of fusion)
+    roots = large_run_roots(skey, n2, L, max_size)[:, :, :slots]
+    roots = roots.reshape(B, -1)
     safe = jnp.where((roots >= 0) & (roots < n), roots, n2)
     seed = jnp.zeros((B, n2), jnp.int32).at[
         jnp.arange(B)[:, None], safe].set(1, mode="drop")
